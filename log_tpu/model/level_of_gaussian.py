@@ -1,0 +1,698 @@
+"""LoG: the level-of-Gaussians composite model (orchestrator).
+
+API + schedule semantics mirror LoG/model/level_of_gaussian.py:174-592. The
+hot per-step path is fully jitted (see train_step.py); this class owns:
+  * per-camera visibility preparation (jit call + bucket selection),
+  * the densify / SH-upgrade / tree-upgrade schedule (host),
+  * split/remove policies over host arrays (update_init_stage /
+    update_depth_stage / upgrade_tree),
+  * checkpoint (de)serialization with reference-compatible key names.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .corrector import Corrector
+from .counter import Counter, str_min_mean_max
+from .gaussian import GaussianPoint, next_capacity
+from .sparse_optimizer import SparseOptimizer, expon_lr
+from .splitter import Splitter
+from .tensor_tree import TensorTree
+from .train_step import StepConfig, fused_train_step, prepare_visibility
+
+MIN_PIXEL = 3
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+class LoG:
+    def __init__(
+        self,
+        gaussian: dict,
+        tree: dict,
+        optimizer: dict,
+        densify_and_remove: dict,
+        use_view_correction: bool = False,
+    ):
+        self.optimizer_cfg = dict(optimizer)
+        self.gaussian = GaussianPoint(**gaussian)
+        self.tree = TensorTree(**tree)
+        self.counter = Counter(self.gaussian.capacity)
+        self.splitter = Splitter(N=tree.get("max_child", 2), split_method="uniform")
+        self.densify_and_remove = dict(densify_and_remove)
+        self.fix_parent = True
+        self.use_view_correction = use_view_correction
+        self.view_correction = Corrector(use_view_correction) if use_view_correction else None
+        self.current_depth = 0
+        self.training = True
+        self.stage_name = "init"
+        self.base_iter = 1
+        self.optimizer: SparseOptimizer | None = None
+        self.lr = 0.0
+        self.visibility_flag = None
+        self._tree_dev = None
+        self._leaf_opt_dev = None
+
+    # ------------------------------------------------------------ basics
+    @property
+    def num_points(self) -> int:
+        return self.gaussian.num_points
+
+    @property
+    def capacity(self) -> int:
+        return self.gaussian.capacity
+
+    def train(self):
+        self.training = True
+
+    def eval(self):
+        self.training = False
+
+    def clear(self):
+        self.visibility_flag = None
+
+    def __repr__(self):
+        scal = np.asarray(self.gaussian.get("scaling"))[: self.num_points]
+        radius = np.exp(scal).max(axis=-1)
+        opac = _sigmoid(np.asarray(self.gaussian.get("opacity"))[: self.num_points, 0])
+        return (
+            f"Gaussian {self.num_points} points\n"
+            f"    radius [{radius.min():.4f}~{radius.mean():.4f}~{radius.max():.4f}]\n"
+            f"    opacity: {opac.mean():.2f}, {(opac < 0.05).sum()} < 0.05, "
+            f"{(opac < 0.1).sum()} < 0.1, "
+        )
+
+    # ----------------------------------------------------- state schedule
+    def set_stage(self, stage_name: str):
+        self.stage_name = stage_name
+
+    def set_state(
+        self,
+        active_sh_degree=None,
+        enable_sh=None,
+        min_resolution_pixel=None,
+        current_depth=None,
+        scaling_modifier=1.0,
+        log_query=None,
+        reset_created_steps=False,
+    ):
+        if active_sh_degree is not None or enable_sh is not None:
+            if enable_sh:
+                self.gaussian.active_sh_degree = self.gaussian.max_sh_degree
+            else:
+                self.gaussian.active_sh_degree = min(
+                    int(active_sh_degree), self.gaussian.max_sh_degree
+                )
+            print(
+                f"[{self.__class__.__name__}] active_sh_degree: "
+                f"{self.gaussian.active_sh_degree}"
+            )
+        if reset_created_steps:
+            self.counter.reset_create_steps()
+            print(f"[{self.__class__.__name__}] reset created steps")
+        if min_resolution_pixel is not None:
+            self.tree.min_resolution_pixel = float(min_resolution_pixel)
+        if current_depth is not None:
+            self.current_depth = int(current_depth)
+            print(
+                f"[{self.__class__.__name__}] set current depth -> "
+                f"{self.current_depth}"
+            )
+        if log_query is not None:
+            self.tree.log_query = bool(log_query)
+
+    # ------------------------------------------------------- device caches
+    def _refresh_device_caches(self):
+        cap = self.capacity
+        self._tree_dev = self.tree.device_arrays(cap) if self.tree.num_points else None
+        if self.tree.num_points:
+            if self.optimizer_cfg.get("opt_all_levels", True):
+                leaf_opt = (self.tree.node_index == -1) & (self.tree.depth > 0)
+            else:
+                leaf_opt = self.tree.depth == self.current_depth
+            pad = np.zeros((cap,), bool)
+            pad[: leaf_opt.shape[0]] = leaf_opt
+            self._leaf_opt_dev = jnp.asarray(pad)
+        else:
+            self._leaf_opt_dev = jnp.zeros((cap,), bool)
+
+    def tree_device(self):
+        if self._tree_dev is None and self.tree.num_points:
+            self._refresh_device_caches()
+        return self._tree_dev
+
+    # -------------------------------------------------------- preparation
+    def prepare_from_camera(self, camera: dict):
+        """Visibility + LoD cut for one camera; stores bucketed keep flags."""
+        from ..render.renderer import camera_device
+
+        cam = camera_device(camera)
+        stage_has_tree = self.tree.num_nodes > 0
+        if stage_has_tree and self._tree_dev is None:
+            self._refresh_device_caches()
+        if stage_has_tree:
+            tree_arrays = self._tree_dev
+            leaf_opt = self._leaf_opt_dev
+            num_levels = int(self.tree.depth.max()) + 1 if self.tree.num_points else 1
+        else:
+            cap = self.capacity
+            tree_arrays = {
+                "node_index": jnp.zeros((cap,), jnp.int32),
+                "index_parent": jnp.zeros((cap,), jnp.int32),
+                "depth": jnp.zeros((cap,), jnp.int32),
+            }
+            leaf_opt = jnp.zeros((cap,), bool)
+            num_levels = 1
+        keep_leaf, keep_node, counts = prepare_visibility(
+            self.gaussian.params(),
+            tree_arrays,
+            cam,
+            jnp.int32(self.num_points),
+            leaf_opt,
+            jnp.float32(self.tree.min_resolution_pixel),
+            jnp.int32(self.current_depth),
+            cam["image_height"],
+            cam["image_width"],
+            stage_has_tree,
+            num_levels,
+        )
+        c = np.asarray(counts)
+        k_leaf = next_capacity(int(c[0]), 256)
+        k_node = 0 if int(c[1]) == 0 else next_capacity(int(c[1]), 256)
+        self.visibility_flag = {
+            "keep_leaf": keep_leaf,
+            "keep_node": keep_node,
+            "keep_mask": keep_leaf | keep_node,
+            "counts": (int(c[0]), int(c[1])),
+            "k_leaf": k_leaf,
+            "k_node": k_node,
+        }
+        return self.visibility_flag
+
+    # alias used by renderer.vis
+    prepare = prepare_from_camera
+
+    # ----------------------------------------------------- training setup
+    def training_setup(self):
+        if self.optimizer is not None:
+            print(f"[{self.__class__.__name__}] optimizer is already setup")
+            self.counter.reset(self.num_points, self.capacity)
+            return 0
+        cfg = dict(self.optimizer_cfg)
+        lr_dict = dict(cfg["lr_dict"])
+        lr_dict["max_steps"] = int(lr_dict["max_steps"]) * self.base_iter
+        self.optimizer = SparseOptimizer(
+            cfg["optimize_keys"],
+            lr_dict,
+            self.gaussian,
+            xyz_scale=self.gaussian.xyz_scale,
+        )
+        print(
+            f"[{self.__class__.__name__}] optimizer setup: max steps = "
+            f"{lr_dict['max_steps']}"
+        )
+        self.lr = lr_dict["xyz"]
+        self.counter.reset(self.num_points, self.capacity)
+        if self.view_correction is not None:
+            self.view_correction.training_setup()
+
+    # ------------------------------------------------------- fused step
+    def train_step(self, camera: dict, gt_image, background, mask_ignore=None,
+                   view_index: int = 0):
+        """One fused optimization step. Requires prepare_from_camera first."""
+        from ..render.renderer import camera_device
+
+        assert self.visibility_flag is not None, "call prepare_from_camera first"
+        assert self.optimizer is not None, "call training_setup first"
+        vf = self.visibility_flag
+        cam = camera_device(camera)
+        cfg = StepConfig(
+            image_height=cam["image_height"],
+            image_width=cam["image_width"],
+            k_leaf=vf["k_leaf"],
+            k_node=vf["k_node"],
+            sh_degree=self.gaussian.active_sh_degree,
+            mode="antialias",
+            use_correction=(
+                self.view_correction is not None and self.view_correction.enabled
+            ),
+            has_mask=mask_ignore is not None,
+            opt_keys=tuple(k for k in self.gaussian.keys),
+        )
+        self.optimizer.global_steps += 1
+        step = self.optimizer.global_steps
+        lrs = {
+            k: jnp.asarray(v)
+            for k, v in _host_lrs(self.optimizer, step).items()
+        }
+        self.lr = float(lrs.get("xyz", 0.0))
+        self.optimizer.xyz_lr = self.lr
+        corr = (
+            jnp.asarray(self.view_correction.get(view_index))
+            if cfg.use_correction
+            else jnp.ones(3, jnp.float32)
+        )
+        mask = (
+            jnp.asarray(mask_ignore)[None]
+            if mask_ignore is not None
+            else jnp.ones((1, 1, 1), jnp.float32)
+        )
+        params, moments, counter, metrics, aux = fused_train_step(
+            self.gaussian.params(),
+            self.optimizer.moments,
+            self.counter.data,
+            vf["keep_leaf"],
+            vf["keep_node"],
+            cam,
+            jnp.asarray(gt_image),
+            jnp.asarray(background),
+            lrs,
+            jnp.float32(step),
+            corr,
+            mask,
+            cfg,
+        )
+        for k, v in params.items():
+            self.gaussian.set(k, v)
+        self.optimizer.moments = moments
+        self.counter.data = counter
+        if cfg.use_correction:
+            self.view_correction.step(view_index, np.asarray(metrics["grad_corr"]))
+        return metrics, aux
+
+    # ------------------------------------------------------------- init
+    def at_init_start(self):
+        self.num_views = 0
+
+    def init_view(self, camera: dict):
+        """Accumulate per-point min 3D radius from one view
+        (LoG/model/level_of_gaussian.py:55-63, 328-332)."""
+        from ..render.renderer import camera_device
+        from ..ops import gaussian_math as gm
+
+        cam = camera_device(camera)
+        params = self.gaussian.params()
+        valid, r3d = _init_radius3d_jit(
+            params["xyz"],
+            params["scaling"],
+            params["rotation"],
+            cam["world_view"],
+            cam["full_proj"],
+            cam["focal_x"],
+            cam["focal_y"],
+            cam["tan_fovx"],
+            cam["tan_fovy"],
+            jnp.int32(self.num_points),
+        )
+        old = self.counter.data["radius3d_min"]
+        self.counter.data["radius3d_min"] = jnp.where(
+            valid, jnp.minimum(old, r3d), old
+        )
+        self.num_views += 1
+
+    def at_init_final(self):
+        r3min = np.asarray(self.counter.data["radius3d_min"])[: self.num_points]
+        print(
+            f"[{self.__class__.__name__}] minimum "
+            f"{self.gaussian.log_radius(r3min)}"
+        )
+        # lift scalings to at least the per-view min 3D radius
+        scal = self.gaussian.to_numpy(["scaling"])["scaling"]
+        floor = np.log(np.maximum(r3min, 1e-12))[:, None].repeat(3, axis=1)
+        arrays = self.gaussian.to_numpy()
+        arrays["scaling"] = np.maximum(scal, floor).astype(np.float32)
+        self.gaussian.set_numpy(arrays)
+        rmax = np.full(
+            (self.capacity,), self.gaussian.xyz_scale * 0.2, np.float32
+        )
+        self.counter.data["radius3d_max"] = jnp.asarray(rmax)
+        self._refresh_device_caches()
+        if self.view_correction is not None:
+            self.view_correction.init(self.num_views)
+
+    # -------------------------------------------------------- densify
+    def clamp_scale_host(self, arrays, counter_np):
+        smin = np.log(np.maximum(counter_np["radius3d_min"], 1e-12))[:, None]
+        smax = np.log(np.maximum(counter_np["radius3d_max"], 1e-12))[:, None]
+        arrays["scaling"] = np.clip(arrays["scaling"], smin, smax).astype(np.float32)
+        return arrays
+
+    def _pull_host(self):
+        n = self.num_points
+        arrays = self.gaussian.to_numpy()
+        counter_np = self.counter.to_numpy(n)
+        moments_np = self.optimizer.to_numpy(n) if self.optimizer else None
+        return arrays, counter_np, moments_np
+
+    def _push_host(self, arrays, counter_np, moments_np):
+        self.gaussian.set_numpy(arrays)
+        cap = self.capacity
+        self.counter.set_numpy(counter_np, cap)
+        if moments_np is not None and self.optimizer is not None:
+            self.optimizer.moments = {"exp_avg": {}, "exp_avg_sq": {}}
+            self.optimizer.set_numpy(moments_np, cap)
+        self._refresh_device_caches()
+
+    def update_init_stage(self, scale=1):
+        """Stage-0 densify: remove by weight/size, split by 2D radius or grad
+        (LoG/model/level_of_gaussian.py:400-452)."""
+        d = self.densify_and_remove
+        arrays, cnt, moments = self._pull_host()
+        weights_max = cnt["weights_max"]
+        opacity = _sigmoid(arrays["opacity"][:, 0])
+        flag_remove_weight = weights_max < d["init_weight_min"]
+        flag_nonmax = weights_max < opacity * 0.1
+        radii_max_max = cnt["radii_max_max"]
+        flag_remove_small = radii_max_max < (d["init_radius_min"] * scale) ** 2
+        print(
+            f"[LoG] {int(flag_remove_weight.sum()):10d} points with weight < "
+            f"{d['init_weight_min']:.2f}"
+        )
+        print(f"[LoG] {int(flag_nonmax.sum()):10d} points with weight is non max")
+        print(
+            f"[LoG] {int(flag_remove_small.sum()):10d} points with radius < "
+            f"{d['init_radius_min']:.2f}"
+        )
+        rng = np.random.default_rng()
+        flag_remove_small = flag_remove_small & (
+            rng.random(weights_max.shape[0]) > 0.5
+        )
+        flag_remove = flag_remove_small | flag_remove_weight | flag_nonmax
+        radii_max = radii_max_max.astype(np.float64)
+        flag_activation = (cnt["create_steps"] > d["min_steps"]) & (radii_max > 0)
+        grad = cnt["grad_sum"] / np.maximum(cnt["area_sum"], 1)
+        print(f"[LoG] {str_min_mean_max('grad', grad)}")
+        act_r = radii_max[flag_activation]
+        radii_mean = act_r.mean() if act_r.size else 0.0
+        radii_std = act_r.std() if act_r.size else 0.0
+        mode = d.get("init_split_method", "split_by_2d")
+        split_thres = d.get("init_radius_split", -1) * scale
+        if mode == "split_by_2d":
+            if split_thres < 0:
+                split_thres = radii_mean + radii_std * 3
+            flag_split_grad = (grad > 10 * d["split_grad_thres"]) & (
+                radii_max > d["init_radius_min"] * scale * 8
+            )
+            flag_split_radii = radii_max > split_thres**2
+            print(f"[LoG] split by grad : {int(flag_split_grad.sum()):8d}")
+            print(f"[LoG] split by radii: {int(flag_split_radii.sum()):8d}")
+            flag_split = flag_split_radii | flag_split_grad
+            flag_split = flag_activation & flag_split & (~flag_remove)
+        elif mode == "split_by_3d":
+            radius = np.exp(arrays["scaling"])
+            radius_max3 = radius.max(axis=-1)
+            flag_split = radius_max3 > self.gaussian.xyz_scale * 0.1
+            flag_remove2d = radius_max3 < self.gaussian.xyz_scale * 0.005
+            flag_remove2d = flag_activation & flag_remove2d
+            flag_rand = rng.random(radius_max3.shape[0]) > 0.5
+            flag_remove = (flag_remove2d & flag_rand) | flag_remove
+            cnt["create_steps"][flag_remove2d & (~flag_rand)] = 0
+            flag_split = flag_split & (~flag_remove)
+        else:
+            raise ValueError(mode)
+        # never prune the model to (near) nothing — keep the top-weight points
+        min_keep = 16
+        if (~flag_remove).sum() < min_keep:
+            order = np.argsort(-weights_max)
+            flag_remove[order[:min_keep]] = False
+        new_arrays, num_keep, _ = self.splitter.split_and_remove(
+            arrays, self.gaussian.activation, flag_split, flag_remove
+        )
+        new_moments = (
+            self.splitter.split_and_remove_moments(moments, flag_split, flag_remove)
+            if moments
+            else None
+        )
+        new_cnt = self.splitter.split_and_remove_other(
+            cnt, ["create_steps", "radius3d_min", "radius3d_max"],
+            flag_split, flag_remove,
+        )
+        # trim the remaining counter keys to the new size (they reset anyway)
+        n_new = new_arrays["xyz"].shape[0]
+        from .counter import init_counter, RESET_KEYS
+
+        fresh = init_counter(n_new)
+        for key in RESET_KEYS:
+            new_cnt[key] = fresh[key]
+        new_cnt["radius3d_max"] = np.full(
+            (n_new,), 0.2 * self.gaussian.xyz_scale, np.float32
+        )
+        new_arrays = self.clamp_scale_host(new_arrays, new_cnt)
+        self._push_host(new_arrays, new_cnt, new_moments)
+        print(f"[LoG] {str_min_mean_max('radius3d_min', new_cnt['radius3d_min'])}")
+
+    def update_depth_stage(self, global_iteration):
+        """Tree densify: split leaf parents by grad AND radius thresholds,
+        cap top-K, remove low-weight children
+        (LoG/model/level_of_gaussian.py:454-525)."""
+        d = self.densify_and_remove
+        log_prefix = f"[LoG] {global_iteration:06d}"
+        arrays, cnt, moments = self._pull_host()
+        radius = np.exp(arrays["scaling"])
+        radius_max = radius.max(axis=-1)
+        node_index = self.tree.node_index
+        depth = self.tree.depth
+        flag_is_parent = (node_index == -1) & (depth < self.current_depth)
+        flag_depth_parent = flag_is_parent & (
+            cnt["create_steps"] > d["min_steps_split"]
+        )
+        depth_minus1_sum = int((depth < self.current_depth).sum())
+        flag_depth_child = (node_index == -1) & (depth > 0)
+        grad = cnt["grad_sum"] / np.maximum(cnt["area_sum"], 1)
+        radii_max_max = cnt["radii_max_max"].astype(np.float64)
+        print(f"{log_prefix} {str_min_mean_max('grad', grad[flag_is_parent])}")
+        print(f"{log_prefix} {str_min_mean_max('radii', radii_max_max[flag_is_parent])}")
+        flag_split_grad = grad > d["split_grad_thres"]
+        flag_split_radii = cnt["radii_max_max"] > d["radius2d_thres"]
+        print(
+            f"{log_prefix} split by grad: {int(flag_split_grad.sum()):8d} "
+            f"split by radii: {int(flag_split_radii.sum()):8d}"
+        )
+        flag_split = flag_split_grad & flag_split_radii & flag_depth_parent
+        if flag_depth_child.sum() == 0:
+            flag_remove = np.zeros_like(flag_split)
+        else:
+            flag_remove = (
+                flag_depth_child
+                & (cnt["weights_max"] < d["remove_weights_thres"])
+                & (cnt["visible_count"] > 1)
+            )
+        flag_split = flag_split & (~flag_remove)
+        num_max_split = min(int(depth_minus1_sum * 0.05), d["max_split_points"])
+        sort_method = d.get("sort_method", "radii")
+        if flag_split.sum() > num_max_split and num_max_split > 0:
+            if sort_method == "radii":
+                vals = radii_max_max
+            elif sort_method == "opacity":
+                vals = _sigmoid(arrays["opacity"][:, 0]).astype(np.float64)
+            else:
+                vals = grad
+            cand = vals[flag_split]
+            thres = np.partition(cand, -num_max_split)[-num_max_split]
+            print(
+                f"{log_prefix} select top {num_max_split} points to split. "
+                f"New {sort_method} thres = {thres:.3f}"
+            )
+            flag_split = flag_split & (vals >= thres)
+        flag_split, flag_remove = self.tree.split_and_remove(flag_split, flag_remove)
+        new_arrays, num_keep, num_children = self.splitter.split_and_remove(
+            arrays, self.gaussian.activation, flag_split, flag_remove,
+            remove_split=False,
+        )
+        new_moments = (
+            self.splitter.split_and_remove_moments(
+                moments, flag_split, flag_remove, remove_split=False
+            )
+            if moments
+            else None
+        )
+        new_cnt = self.splitter.split_and_remove_other(
+            cnt, ["create_steps", "radius3d_min", "radius3d_max"],
+            flag_split, flag_remove, remove_split=False,
+        )
+        n_new = new_arrays["xyz"].shape[0]
+        from .counter import init_counter, RESET_KEYS
+
+        fresh = init_counter(n_new)
+        for key in RESET_KEYS:
+            new_cnt[key] = fresh[key]
+        num_split = int(flag_split.sum()) * self.splitter.N
+        if num_split > 0:
+            scaling_decay = d.get("scaling_decay", 0.9)
+            new_cnt["radius3d_max"][-num_split:] = np.repeat(
+                scaling_decay * radius_max[flag_split], self.splitter.N
+            )
+        self._push_host(new_arrays, new_cnt, new_moments)
+        for dd in range(self.current_depth + 1):
+            n_at = int((self.tree.depth == dd).sum())
+            if n_at:
+                print(f"[LoG] depth = {dd:2d} | {n_at:10d} points")
+
+    def upgrade_tree(self):
+        if self.current_depth == 0:
+            self.tree.initialize(self.num_points)
+        self.current_depth = 20
+        print(f"[{self.__class__.__name__}] current depth: {self.current_depth}")
+        self.counter.reset(self.num_points, self.capacity)
+        self._refresh_device_caches()
+
+    def update_by_iteration(self, iteration, global_iteration):
+        """Densify/SH/tree schedule (LoG/model/level_of_gaussian.py:535-565)."""
+        d = self.densify_and_remove
+        base_iter = self.base_iter
+        upgrade_sh_iter = d["upgrade_sh_iter"] * base_iter
+        if global_iteration > 0 and (global_iteration + 1) % upgrade_sh_iter == 0:
+            self.gaussian.oneupSHdegree()
+        densify_from_iter = d["densify_from_iter"] * base_iter
+        densify_every_iter = d["densify_every_iter"] * base_iter
+        sum_iter = self.current_depth + 1
+        upgrade_tree_iter = densify_every_iter * sum_iter * d["upgrade_repeat"]
+        if (iteration + 1) == densify_from_iter:
+            self.counter.reset(self.num_points, self.capacity)
+            return False
+        if (iteration + 1 > densify_from_iter) and (
+            iteration + 1
+        ) % densify_every_iter == 0:
+            if (iteration + 1) % upgrade_tree_iter == 0 and self.stage_name != "init":
+                self.upgrade_tree()
+                return True
+            if self.current_depth == 0:
+                if self.stage_name == "init":
+                    self.update_init_stage()
+                else:
+                    self.update_init_stage(scale=2)
+            else:
+                if (iteration + 1) % (2 * densify_every_iter) == 0:
+                    self.update_depth_stage(global_iteration)
+                else:
+                    self.counter.reset(self.num_points, self.capacity)
+            return True
+        return False
+
+    # --------------------------------------------------------- checkpoint
+    def state_dict(self) -> dict:
+        """Flat numpy dict with reference-compatible key names
+        (LoG/utils/trainer.py:429-443 layout)."""
+        n = self.num_points
+        sd = {}
+        for key in self.gaussian.keys:
+            sd[f"gaussian.{key}"] = np.asarray(self.gaussian.get(key))[:n]
+        sd["tree.root_index"] = self.tree.root_index
+        sd["tree.tree"] = self.tree.tree
+        for key in self.tree.KEYS:
+            sd[f"tree.{key}"] = getattr(self.tree, key)
+        for key, val in self.counter.to_numpy(n).items():
+            sd[f"counter.{key}"] = val
+        if self.optimizer is not None:
+            sd["optimizer.global_steps"] = np.float32(self.optimizer.global_steps)
+            mom = self.optimizer.to_numpy(n)
+            for mk, dd in mom.items():
+                for key, val in dd.items():
+                    sd[f"optimizer.{mk}.{key}"] = val
+        if self.view_correction is not None:
+            sd["view_correction.view_correction"] = self.view_correction.values
+        return sd
+
+    def load_state_dict(self, state_dict, strict=True, split="demo"):
+        """Shape-tolerant load (LoG/model/level_of_gaussian.py:567-592)."""
+        if split == "train":
+            self.training_setup()
+        arrays = {}
+        counter_np = {}
+        moments_np = {"exp_avg": {}, "exp_avg_sq": {}}
+        for key, val in state_dict.items():
+            val = np.asarray(val)
+            if split != "train" and "optimizer" in key:
+                continue
+            if key.startswith("gaussian."):
+                arrays[key.split(".", 1)[1]] = val
+            elif key.startswith("tree."):
+                name = key.split(".", 1)[1]
+                if name in ("root_index", "tree") or name in self.tree.KEYS:
+                    setattr(self.tree, name, val.astype(np.int32))
+            elif key.startswith("counter."):
+                counter_np[key.split(".", 1)[1]] = val
+            elif key == "optimizer.global_steps":
+                if self.optimizer is not None:
+                    self.optimizer.global_steps = float(val)
+            elif key.startswith("optimizer.exp_avg."):
+                moments_np["exp_avg"][key.rsplit(".", 1)[1]] = val
+            elif key.startswith("optimizer.exp_avg_sq."):
+                moments_np["exp_avg_sq"][key.rsplit(".", 1)[1]] = val
+            elif key == "view_correction.view_correction":
+                if self.view_correction is not None:
+                    self.view_correction.set_values(val)
+            else:
+                print(f"[LoG] skip unknown checkpoint key {key}")
+        if arrays:
+            self.gaussian.keys = [k for k in
+                                  ["scaling", "colors", "xyz", "opacity",
+                                   "rotation", "shs"] if k in arrays]
+            self.gaussian.set_numpy(arrays)
+        if counter_np:
+            self.counter.set_numpy(counter_np, self.capacity)
+        if split == "train" and moments_np["exp_avg"]:
+            self.optimizer.moments = {"exp_avg": {}, "exp_avg_sq": {}}
+            self.optimizer.set_numpy(moments_np, self.capacity)
+        if self.tree.num_nodes > 0:
+            self.current_depth = int(self.tree.depth.max())
+        self._refresh_device_caches()
+        return True
+
+
+def _host_lrs(optimizer: SparseOptimizer, step) -> dict:
+    """Per-key LR values for this step (host floats -> traced scalars)."""
+    out = {}
+    for key in optimizer.optimize_keys:
+        if key == "xyz":
+            out[key] = float(
+                expon_lr(
+                    step,
+                    optimizer.lr_dict["xyz"] * optimizer.xyz_scale,
+                    optimizer.lr_dict.get(
+                        "xyz_final", optimizer.lr_dict["xyz"] * 0.01
+                    )
+                    * optimizer.xyz_scale,
+                    max_steps=optimizer.max_steps,
+                )
+            )
+        elif key == "scaling" and "scaling" in optimizer.lr_dict:
+            out[key] = float(
+                expon_lr(
+                    step,
+                    optimizer.lr_dict["scaling"],
+                    optimizer.lr_dict.get("scaling_final", optimizer.lr_dict["scaling"]),
+                    max_steps=optimizer.max_steps,
+                )
+            )
+        elif key in optimizer.lr_dict:
+            out[key] = float(optimizer.lr_dict[key])
+    return out
+
+
+from functools import partial
+
+
+@jax.jit
+def _init_radius3d_jit(
+    xyz, scaling, rotation, world_view, full_proj,
+    focal_x, focal_y, tan_fovx, tan_fovy, n_alive,
+):
+    from ..ops import gaussian_math as gm
+
+    s = jnp.exp(scaling)
+    r = rotation / jnp.linalg.norm(rotation, axis=-1, keepdims=True)
+    r2d = gm.compute_radius2d(
+        xyz, s, r, world_view, full_proj, focal_x, focal_y, tan_fovx, tan_fovy
+    )
+    alive = jnp.arange(xyz.shape[0]) < n_alive
+    valid = (r2d > 0) & alive
+    r3d = s[:, 0] * jnp.where(valid, MIN_PIXEL / jnp.maximum(r2d, 1e-9), 1.0)
+    return valid, r3d

@@ -1,0 +1,196 @@
+"""Sparse per-point Adam over capacity-padded moment arrays.
+
+The reference (LoG/model/sparse_optimizer.py:121-248) keeps Adam moments for
+every point and each step gathers the visible subset, runs Adam, and scatters
+back — with optional CPU offload of moments past 50M/100M points. Here the
+moments live in TPU HBM as capacity-padded arrays (sharded over the point axis
+in multi-chip mode; see log_tpu.parallel) and the gather→update→scatter runs
+inside the fused train step jit: padding lanes carry an out-of-range index so
+their scatters are dropped. The 50M/100M CPU spill becomes unnecessary on a
+sharded HBM pool but host offload remains available via
+`SparseOptimizerState.to_host` as a capacity fallback.
+
+Adam math matches `_single_tensor_adam` (LoG/model/sparse_optimizer.py:41-78):
+global-step bias correction, eps=1e-15 added after sqrt, beta=(0.9, 0.999).
+LR schedule is the Plenoxels log-lerp (sparse_optimizer.py:6-39).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def expon_lr(
+    step,
+    lr_init: float,
+    lr_final: float,
+    lr_delay_steps: float = 0,
+    lr_delay_mult: float = 1.0,
+    max_steps: float = 1_000_000,
+):
+    """Log-linear LR decay (jnp-traceable; LoG/model/sparse_optimizer.py:24-38)."""
+    if lr_init == 0.0 and lr_final == 0.0:
+        return jnp.zeros_like(jnp.asarray(step, jnp.float32))
+    step = jnp.asarray(step, jnp.float32)
+    if lr_delay_steps > 0:
+        delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0, 1)
+        )
+    else:
+        delay_rate = 1.0
+    t = jnp.clip(step / max_steps, 0, 1)
+    log_lerp = jnp.exp(np.log(lr_init) * (1 - t) + np.log(lr_final) * t)
+    lr = delay_rate * log_lerp
+    return jnp.where(step < 0, 0.0, lr)
+
+
+def adam_slice_update(
+    param,
+    grad,
+    exp_avg,
+    exp_avg_sq,
+    global_step,
+    lr,
+    eps: float = 1e-15,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    max_exp_avg_sq=None,
+):
+    """One Adam step on a gathered slice. All args (K, ...) arrays.
+
+    Returns (param, exp_avg, exp_avg_sq, max_exp_avg_sq)."""
+    exp_avg = beta1 * exp_avg + (1 - beta1) * grad
+    exp_avg_sq = beta2 * exp_avg_sq + (1 - beta2) * grad * grad
+    step = jnp.asarray(global_step, jnp.float32)
+    bias_c1 = 1 - beta1**step
+    bias_c2 = 1 - beta2**step
+    step_size = lr / bias_c1
+    if max_exp_avg_sq is not None:
+        max_exp_avg_sq = jnp.maximum(max_exp_avg_sq, exp_avg_sq)
+        denom = jnp.sqrt(max_exp_avg_sq) / jnp.sqrt(bias_c2) + eps
+    else:
+        denom = jnp.sqrt(exp_avg_sq) / jnp.sqrt(bias_c2) + eps
+    param = param - step_size * (exp_avg / denom)
+    return param, exp_avg, exp_avg_sq, max_exp_avg_sq
+
+
+def sparse_adam_step(
+    params: dict,
+    moments: dict,
+    grads: dict,
+    index: jax.Array,
+    update_mask: jax.Array,
+    global_step,
+    lrs: dict,
+    eps: float = 1e-15,
+):
+    """Gather -> Adam -> scatter over the big arrays; pure function.
+
+    params/moments: capacity-padded dicts; moments has 'exp_avg'/'exp_avg_sq'
+      sub-dicts keyed like params.
+    grads: (K, ...) gradients of the gathered slice (zeros for non-updated).
+    index: (K,) global row per slice lane; masked lanes must hold an
+      out-of-range sentinel so their scatters drop.
+    update_mask: (K,) bool — e.g. `radii > 0` (the reference's flag_vis;
+      LoG/model/level_of_gaussian.py:379-392).
+    Returns (new_params, new_moments).
+    """
+    sentinel = params[next(iter(params))].shape[0]
+    idx = jnp.where(update_mask, index, sentinel)
+    new_params = dict(params)
+    new_exp_avg = dict(moments["exp_avg"])
+    new_exp_avg_sq = dict(moments["exp_avg_sq"])
+    for key, grad in grads.items():
+        if grad is None or key not in lrs:
+            continue
+        p = params[key].at[idx].get(mode="fill", fill_value=0.0)
+        m1 = moments["exp_avg"][key].at[idx].get(mode="fill", fill_value=0.0)
+        m2 = moments["exp_avg_sq"][key].at[idx].get(mode="fill", fill_value=0.0)
+        p, m1, m2, _ = adam_slice_update(
+            p, grad, m1, m2, global_step, lrs[key], eps=eps
+        )
+        new_params[key] = params[key].at[idx].set(p, mode="drop")
+        new_exp_avg[key] = moments["exp_avg"][key].at[idx].set(m1, mode="drop")
+        new_exp_avg_sq[key] = moments["exp_avg_sq"][key].at[idx].set(m2, mode="drop")
+    return new_params, {"exp_avg": new_exp_avg, "exp_avg_sq": new_exp_avg_sq}
+
+
+class SparseOptimizer:
+    """Host container: moments + LR schedule config.
+
+    Mirrors LoG/model/sparse_optimizer.py:121-162 (xyz/scaling scheduled,
+    per-key constant LRs otherwise, xyz scaled by xyz_scale).
+    """
+
+    def __init__(self, optimize_keys, lr_dict, model, xyz_scale=None):
+        self.optimize_keys = list(optimize_keys)
+        self.lr_dict = dict(lr_dict)
+        self.global_steps = 0
+        self.xyz_scale = xyz_scale if xyz_scale is not None else 1.0
+        self.max_steps = int(lr_dict.get("max_steps", 1_000_000))
+        self.xyz_lr = self.lr_dict.get("xyz", 0.0) * self.xyz_scale
+        cap = model.capacity
+        self.moments = {
+            "exp_avg": {},
+            "exp_avg_sq": {},
+        }
+        for key in self.optimize_keys:
+            if key not in model.keys:
+                continue
+            shape = model.get(key).shape
+            for mk in ("exp_avg", "exp_avg_sq"):
+                self.moments[mk][key] = jnp.zeros(shape, jnp.float32)
+        print(
+            f"[{self.__class__.__name__}] xyz_scale: {self.xyz_scale}, "
+            f"steps: {self.max_steps}, lr "
+            f"{self.lr_dict.get('xyz', 0) * self.xyz_scale}->"
+            f"{self.lr_dict.get('xyz_final', self.lr_dict.get('xyz', 0) * 0.01) * self.xyz_scale}"
+        )
+
+    def lrs_for_step(self, step) -> dict:
+        """Per-key LR dict for a (possibly traced) global step."""
+        lrs = {}
+        for key in self.optimize_keys:
+            if key == "xyz":
+                lrs[key] = expon_lr(
+                    step,
+                    self.lr_dict["xyz"] * self.xyz_scale,
+                    self.lr_dict.get("xyz_final", self.lr_dict["xyz"] * 0.01)
+                    * self.xyz_scale,
+                    max_steps=self.max_steps,
+                )
+            elif key == "scaling" and "scaling" in self.lr_dict:
+                lrs[key] = expon_lr(
+                    step,
+                    self.lr_dict["scaling"],
+                    self.lr_dict.get("scaling_final", self.lr_dict["scaling"]),
+                    max_steps=self.max_steps,
+                )
+            elif key in self.lr_dict:
+                lrs[key] = jnp.asarray(self.lr_dict[key], jnp.float32)
+        return lrs
+
+    # ---------------------------------------------------------- host moves
+    def to_host(self, keys=("exp_avg_sq",)) -> None:
+        """Optional capacity fallback mirroring splitter.py:198-204."""
+        for mk in keys:
+            self.moments[mk] = {
+                k: np.asarray(v) for k, v in self.moments[mk].items()
+            }
+
+    def set_numpy(self, moments: dict, capacity: int) -> None:
+        from .gaussian import pad_rows
+
+        for mk in ("exp_avg", "exp_avg_sq"):
+            for key, val in moments.get(mk, {}).items():
+                self.moments[mk][key] = jnp.asarray(
+                    pad_rows(np.asarray(val), capacity)
+                )
+
+    def to_numpy(self, num_points: int) -> dict:
+        return {
+            mk: {k: np.asarray(v)[:num_points] for k, v in d.items()}
+            for mk, d in self.moments.items()
+        }

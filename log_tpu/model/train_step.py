@@ -1,0 +1,302 @@
+"""The fused training step: ONE jit for gather -> render -> loss -> grads ->
+counter stats -> sparse Adam -> scatter.
+
+The reference splits this across renderer.forward / loss.backward /
+Counter.update_by_output / SparseOptimizer.step with multiple kernel launches
+and CPU<->GPU index traffic (LoG/utils/trainer.py:144-165). On TPU everything
+lives in a single XLA executable: the only host sync per step is the visible
+count (to pick the padded slice bucket) and any metrics the trainer chooses to
+read. Recompiles are bounded by quantizing (k_leaf, k_node) to capacity
+buckets.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import rasterize_ref
+from ..ops.sh import eval_sh, sh_to_rgb
+from ..ops.ssim import ssim_loss
+from .counter import update_counter
+from .sparse_optimizer import sparse_adam_step
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    image_height: int
+    image_width: int
+    k_leaf: int
+    k_node: int
+    sh_degree: int  # active SH degree
+    mode: str = "antialias"  # 'antialias' | 'original'
+    use_correction: bool = False
+    has_mask: bool = False
+    opt_keys: tuple = ("xyz", "colors", "scaling", "opacity", "rotation", "shs")
+    backend: str = "reference"  # rasterizer backend
+    chunk: int = 32
+
+
+UNIT_QUAT = (1.0, 0.0, 0.0, 0.0)
+
+
+def _gather_slices(params: dict, index: jax.Array, lane_valid: jax.Array) -> dict:
+    out = {}
+    for key, val in params.items():
+        s = val.at[index].get(mode="fill", fill_value=0.0)
+        if key == "rotation":
+            s = jnp.where(lane_valid[:, None], s, jnp.asarray(UNIT_QUAT))
+        out[key] = s
+    return out
+
+
+def _activate_and_rasterize(slices, offset, cam, background, lane_valid, cfg):
+    """Param-space slice -> physical -> rasterize. Differentiable."""
+    scaling = jnp.exp(slices["scaling"])
+    opacity = jax.nn.sigmoid(slices["opacity"][:, 0])
+    rotation = slices["rotation"] / jnp.linalg.norm(
+        slices["rotation"], axis=-1, keepdims=True
+    )
+    colors = sh_to_rgb(slices["colors"])
+    if cfg.sh_degree > 0 and "shs" in slices:
+        xyz_d = jax.lax.stop_gradient(slices["xyz"])
+        dirs = xyz_d - cam["camera_center"][None]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        colors = colors + eval_sh(dirs, slices["shs"], degree=cfg.sh_degree)
+    raster = rasterize_ref.rasterize  # TODO: tiled pallas backend switch
+    out = raster(
+        xyz=slices["xyz"],
+        colors=colors,
+        opacity=opacity,
+        scaling=scaling,
+        rotation=rotation,
+        means2d_offset=offset,
+        world_view=cam["world_view"],
+        full_proj=cam["full_proj"],
+        focal_x=cam["focal_x"],
+        focal_y=cam["focal_y"],
+        tan_fovx=cam["tan_fovx"],
+        tan_fovy=cam["tan_fovy"],
+        background=background,
+        image_height=cfg.image_height,
+        image_width=cfg.image_width,
+        active_mask=lane_valid,
+        mode=cfg.mode,
+        use_filter=True,
+        chunk=cfg.chunk,
+    )
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1, 2))
+def fused_train_step(
+    params: dict,
+    moments: dict,
+    counter: dict,
+    keep_leaf: jax.Array,
+    keep_node: jax.Array,
+    cam: dict,
+    gt: jax.Array,
+    background: jax.Array,
+    lrs: dict,
+    global_step: jax.Array,
+    correction: jax.Array,  # (3,) this view's gain (ones if unused)
+    mask_ignore: jax.Array,  # (1, H, W) or (1, 1, 1) ones if unused
+    cfg: StepConfig,
+):
+    """Returns (params, moments, counter, metrics, aux)."""
+    cap = params["xyz"].shape[0]
+    idx_leaf = jnp.nonzero(keep_leaf, size=cfg.k_leaf, fill_value=cap)[0]
+    if cfg.k_node > 0:
+        idx_node = jnp.nonzero(keep_node, size=cfg.k_node, fill_value=cap)[0]
+        index = jnp.concatenate([idx_leaf, idx_node])
+    else:
+        index = idx_leaf
+    lane_valid = index < cap
+    K = index.shape[0]
+
+    slices = _gather_slices(
+        {k: params[k] for k in cfg.opt_keys if k in params}, index, lane_valid
+    )
+    offset0 = jnp.zeros((K, 2), jnp.float32)
+
+    def loss_fn(slices_, offset_, corr_):
+        out = _activate_and_rasterize(
+            slices_, offset_, cam, background, lane_valid, cfg
+        )
+        render = out["render"]
+        if cfg.use_correction:
+            render_l1 = render * corr_[:, None, None]
+        else:
+            render_l1 = render
+        if cfg.has_mask:
+            m = mask_ignore  # (1, H, W); 1 = ignore
+            gt_eff = gt * m + (1 - m) * background[:, None, None]
+            render_ssim = gt_eff * m + render * (1 - m)
+            render_l1 = gt_eff * m + render_l1 * (1 - m)
+        else:
+            gt_eff = gt
+            render_ssim = render
+        l1 = jnp.mean(jnp.abs(render_l1 - gt_eff))
+        ssim = ssim_loss(render_ssim, gt_eff)
+        loss = 0.8 * l1 + 0.2 * ssim
+        aux = {
+            "render": render,
+            "radii": out["radii"],
+            "point_weight": out["point_weight"],
+            "point_id_pixel": out["point_id_pixel"],
+            "l1": l1,
+            "ssim": ssim,
+        }
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+        slices, offset0, correction
+    )
+    g_slices, g_offset, g_corr = grads
+
+    counter = update_counter(
+        counter,
+        index,
+        aux["radii"],
+        aux["point_weight"],
+        aux["point_id_pixel"],
+        g_offset,
+    )
+
+    flag_vis = aux["radii"] > 0
+    update_mask = lane_valid & flag_vis & (jnp.arange(K) < cfg.k_leaf)
+    params, moments = sparse_adam_step(
+        params, moments, g_slices, index, update_mask, global_step, lrs
+    )
+
+    # clamp scaling into [radius3d_min, radius3d_max]
+    # (LoG/model/level_of_gaussian.py:367-377)
+    sentinel_idx = jnp.where(update_mask, index, cap)
+    r3min = counter["radius3d_min"].at[sentinel_idx].get(mode="fill", fill_value=1e-6)
+    r3max = counter["radius3d_max"].at[sentinel_idx].get(mode="fill", fill_value=1e6)
+    s = params["scaling"].at[sentinel_idx].get(mode="fill", fill_value=0.0)
+    s = jnp.clip(
+        s,
+        jnp.log(jnp.maximum(r3min, 1e-12))[:, None],
+        jnp.log(jnp.maximum(r3max, 1e-12))[:, None],
+    )
+    params = dict(params)
+    params["scaling"] = params["scaling"].at[sentinel_idx].set(s, mode="drop")
+
+    metrics = {
+        "loss": loss,
+        "l1": aux["l1"],
+        "ssim": aux["ssim"],
+        "num_rendered": jnp.sum(flag_vis & lane_valid),
+        "grad_corr": g_corr,
+    }
+    step_aux = {
+        "render": aux["render"],
+        "radii": aux["radii"],
+        "index": index,
+    }
+    return params, moments, counter, metrics, step_aux
+
+
+@partial(
+    jax.jit,
+    static_argnames=("image_height", "image_width", "stage_has_tree", "num_levels", "mode"),
+)
+def prepare_visibility(
+    params: dict,
+    tree_arrays: dict,
+    cam: dict,
+    n_alive: jax.Array,
+    is_leaf_opt: jax.Array,  # per-point flag: belongs to the optimized set
+    min_resolution_pixel: jax.Array,
+    current_depth: jax.Array,
+    image_height: int,
+    image_width: int,
+    stage_has_tree: bool,
+    num_levels: int,
+    mode: str = "antialias",
+):
+    """Per-camera visibility + LoD cut. Returns (keep_leaf, keep_node, counts).
+
+    Reproduces LoG/model/level_of_gaussian.py:223-256: frustum cull (padding
+    0.5) -> weight-render cull of roots (point_weight > 1e-8) -> tree cut ->
+    leaf/node split. For the treeless init stage: frustum only.
+    """
+    from ..ops import gaussian_math as gm
+    from .tensor_tree import traverse_cut
+
+    cap = params["xyz"].shape[0]
+    alive = jnp.arange(cap) < n_alive
+    xyz = params["xyz"]
+    p_ndc, _ = gm.project_ndc(xyz, cam["full_proj"])
+    in_frustum = gm.frustum_flag(p_ndc, padding=0.5) & alive
+
+    if not stage_has_tree:
+        keep_leaf = in_frustum
+        keep_node = jnp.zeros_like(keep_leaf)
+        counts = jnp.stack([jnp.sum(keep_leaf), jnp.sum(keep_node)])
+        return keep_leaf, keep_node, counts
+
+    is_root = tree_arrays["index_parent"] == -1
+    root_candidate = is_root & in_frustum
+    # weight-render cull of roots (render_to_check;
+    # LoG/model/level_of_gaussian.py:207-241)
+    scaling = jnp.exp(params["scaling"])
+    rotation = params["rotation"] / jnp.linalg.norm(
+        params["rotation"], axis=-1, keepdims=True
+    )
+    opacity = jax.nn.sigmoid(params["opacity"][:, 0])
+    check = rasterize_ref.rasterize(
+        xyz=xyz,
+        colors=jnp.ones_like(xyz),
+        opacity=opacity,
+        scaling=scaling,
+        rotation=rotation,
+        means2d_offset=jnp.zeros_like(xyz[:, :2]),
+        world_view=cam["world_view"],
+        full_proj=cam["full_proj"],
+        focal_x=cam["focal_x"],
+        focal_y=cam["focal_y"],
+        tan_fovx=cam["tan_fovx"],
+        tan_fovy=cam["tan_fovy"],
+        background=jnp.zeros(3),
+        image_height=image_height,
+        image_width=image_width,
+        active_mask=root_candidate,
+        mode=mode,
+        use_filter=True,
+        chunk=64,
+    )
+    root_visible = root_candidate & (check["point_weight"] > 1e-8)
+
+    radius2d = gm.compute_radius2d(
+        xyz,
+        scaling,
+        rotation,
+        cam["world_view"],
+        cam["full_proj"],
+        cam["focal_x"],
+        cam["focal_y"],
+        cam["tan_fovx"],
+        cam["tan_fovy"],
+    )
+    keep = traverse_cut(
+        tree_arrays["node_index"],
+        tree_arrays["index_parent"],
+        tree_arrays["depth"],
+        radius2d,
+        root_visible,
+        alive,
+        min_resolution_pixel,
+        current_depth,
+        num_levels,
+    )
+    keep_leaf = keep & is_leaf_opt
+    keep_node = keep & ~is_leaf_opt
+    counts = jnp.stack([jnp.sum(keep_leaf), jnp.sum(keep_node)])
+    return keep_leaf, keep_node, counts

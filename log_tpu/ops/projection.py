@@ -1,0 +1,118 @@
+"""Shared projection stage for both rasterizer backends.
+
+Turns world-space Gaussian parameters into screen-space splat parameters
+(pixel mean, conic, effective opacity, depth, radius). This is the part of the
+CUDA `preprocess` kernel (diff_gaussian_rasterization fork, consumed at
+LoG/render/renderer.py:141-155) that is pure vectorized math — on TPU it is a
+single fused XLA elementwise pipeline over (P,) arrays.
+
+Antialias semantics of the 'wodilate' fork:
+  * training (`use_filter=True`): covariance low-passed by +0.3 px and opacity
+    scaled by sqrt(det(cov) / det(cov + 0.3 I)) (Mip-Splatting-style
+    compensation, replacing the unconditional dilation of the Inria original);
+  * inference (`use_filter=False`, LoG/render/renderer.py:151-152): raw
+    covariance, no compensation (the LoD cut guarantees >= 3 px splats).
+`mode='original'` reproduces the Inria rasterizer (dilate, no compensation),
+selected by `use_origin_render` (LoG/render/renderer.py:99-107).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import gaussian_math as gm
+
+# Inria near-plane cull threshold (camera-space z).
+NEAR_Z = 0.2
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+class Splats(NamedTuple):
+    """Screen-space splats, all (P,) or (P, k)."""
+
+    pix_xy: jax.Array  # (P, 2) pixel-space mean
+    conic: jax.Array  # (P, 3) inverse 2x2 covariance (xx, xy, yy)
+    opacity: jax.Array  # (P,) effective opacity (with AA compensation)
+    depth: jax.Array  # (P,) camera-space z
+    radius: jax.Array  # (P,) float pixel radius (0 for culled)
+    valid: jax.Array  # (P,) bool
+
+
+def project_gaussians(
+    xyz: jax.Array,
+    scaling: jax.Array,
+    rotation: jax.Array,
+    opacity: jax.Array,
+    world_view: jax.Array,
+    full_proj: jax.Array,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+    image_height: int,
+    image_width: int,
+    mode: str = "antialias",
+    use_filter: bool = True,
+    means2d_offset: jax.Array | None = None,
+    active_mask: jax.Array | None = None,
+) -> Splats:
+    """Project activated Gaussian parameters to screen-space splats.
+
+    `means2d_offset` is an optional (P, 2) zero tensor added to the NDC mean;
+    its cotangent reproduces the reference's `viewspace_points.grad`
+    (NDC-convention screen gradient used by densification;
+    LoG/model/counter.py:46).
+    """
+    t = gm.transform_point(xyz, world_view)
+    depth = t[..., 2]
+    p_ndc, _ = gm.project_ndc(xyz, full_proj)
+    ndc_xy = p_ndc[..., :2]
+    if means2d_offset is not None:
+        ndc_xy = ndc_xy + means2d_offset
+    pix_x = gm.ndc_to_pix(ndc_xy[..., 0], image_width)
+    pix_y = gm.ndc_to_pix(ndc_xy[..., 1], image_height)
+    pix_xy = jnp.stack([pix_x, pix_y], axis=-1)
+
+    cov3d = gm.build_cov3d(scaling, rotation)
+    cxx, cxy, cyy = gm.ewa_cov2d(
+        cov3d, xyz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
+    )
+    det_raw = cxx * cyy - cxy * cxy
+    if mode == "original":
+        ucxx, ucxy, ucyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="add")
+        comp = jnp.ones_like(cxx)
+    elif mode == "antialias":
+        if use_filter:
+            ucxx, ucxy, ucyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="add")
+            det_f = ucxx * ucyy - ucxy * ucxy
+            comp = jnp.sqrt(
+                jnp.maximum(det_raw, 0.0) / jnp.where(det_f != 0.0, det_f, 1.0)
+            )
+        else:
+            ucxx, ucxy, ucyy = cxx, cxy, cyy
+            comp = jnp.ones_like(cxx)
+    else:
+        raise ValueError(f"unknown rasterizer mode {mode!r}")
+
+    icxx, icxy, icyy, det = gm.inverse_cov2d(ucxx, ucxy, ucyy)
+    conic = jnp.stack([icxx, icxy, icyy], axis=-1)
+    radius = jnp.ceil(gm.cov2d_radius(ucxx, ucxy, ucyy))
+
+    valid = (depth > NEAR_Z) & (det > 0.0)
+    if active_mask is not None:
+        valid = valid & active_mask
+    radius = jnp.where(valid, radius, 0.0)
+    op = opacity * comp
+    op = jnp.where(valid, op, 0.0)
+    return Splats(
+        pix_xy=pix_xy,
+        conic=conic,
+        opacity=op,
+        depth=depth,
+        radius=radius,
+        valid=valid,
+    )

@@ -1,0 +1,102 @@
+"""Real spherical-harmonics color evaluation (degrees 0..4).
+
+Standard real-SH constants; behavioral contract matches
+LoG/model/sh_utils.py:1-74 (eval without the DC term, plus RGB<->DC-SH maps).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+C0 = 0.28209479177387814
+C1 = 0.4886025119029199
+C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    """Number of view-dependent coefficients (excluding DC) for a degree."""
+    return (degree + 1) ** 2 - 1
+
+
+def rgb_to_sh(rgb):
+    return (rgb - 0.5) / C0
+
+
+def sh_to_rgb(sh):
+    return sh * C0 + 0.5
+
+
+def eval_sh(dirs: jax.Array, sh: jax.Array, degree: int) -> jax.Array:
+    """View-dependent color from SH coefficients, without the DC band.
+
+    dirs: (N, 3) unit view directions; sh: (N, K, 3) with K >= (degree+1)^2-1.
+    `degree` is static (traced code is specialized per active degree, exactly
+    like the reference's active_sh_degree; LoG/model/sh_utils.py:31-68).
+    """
+    assert 0 < degree <= 4
+    x = dirs[..., 0:1]
+    y = dirs[..., 1:2]
+    z = dirs[..., 2:3]
+    result = -C1 * y * sh[..., 0, :] + C1 * z * sh[..., 1, :] - C1 * x * sh[..., 2, :]
+    if degree > 1:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        result = (
+            result
+            + C2[0] * xy * sh[..., 3, :]
+            + C2[1] * yz * sh[..., 4, :]
+            + C2[2] * (2.0 * zz - xx - yy) * sh[..., 5, :]
+            + C2[3] * xz * sh[..., 6, :]
+            + C2[4] * (xx - yy) * sh[..., 7, :]
+        )
+        if degree > 2:
+            result = (
+                result
+                + C3[0] * y * (3 * xx - yy) * sh[..., 8, :]
+                + C3[1] * xy * z * sh[..., 9, :]
+                + C3[2] * y * (4 * zz - xx - yy) * sh[..., 10, :]
+                + C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 11, :]
+                + C3[4] * x * (4 * zz - xx - yy) * sh[..., 12, :]
+                + C3[5] * z * (xx - yy) * sh[..., 13, :]
+                + C3[6] * x * (xx - 3 * yy) * sh[..., 14, :]
+            )
+            if degree > 3:
+                result = (
+                    result
+                    + C4[0] * xy * (xx - yy) * sh[..., 15, :]
+                    + C4[1] * yz * (3 * xx - yy) * sh[..., 16, :]
+                    + C4[2] * xy * (7 * zz - 1) * sh[..., 17, :]
+                    + C4[3] * yz * (7 * zz - 3) * sh[..., 18, :]
+                    + C4[4] * (zz * (35 * zz - 30) + 3) * sh[..., 19, :]
+                    + C4[5] * xz * (7 * zz - 3) * sh[..., 20, :]
+                    + C4[6] * (xx - yy) * (7 * zz - 1) * sh[..., 21, :]
+                    + C4[7] * xz * (xx - 3 * yy) * sh[..., 22, :]
+                    + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[..., 23, :]
+                )
+    return result

@@ -1,0 +1,413 @@
+"""Stage-driven training orchestration.
+
+Contract: LoG/utils/trainer.py:47-531 — named stages with resume-skip,
+dataset/model/render state application, iteration-sampled loader, periodic
+validation/overlook/checkpoints, init-pass radius calibration — on top of the
+fused TPU train step (one jit call per iteration + one visibility jit).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from collections import defaultdict
+from os.path import join
+
+import numpy as np
+
+from .config import load_object
+from .metric import psnr
+from .recorder import Recorder
+from .sampler import DataLoader, IndexSampler, IterationBasedSampler
+
+
+def imwrite(imgname, img):
+    import cv2
+
+    os.makedirs(os.path.dirname(imgname), exist_ok=True)
+    cv2.imwrite(imgname, img)
+
+
+def seed_everything(seed):
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def prepare_batch(data, device=None):
+    """Kept for API parity; batches stay numpy until camera_device()."""
+    return data
+
+
+class Trainer:
+    def __init__(self, cfg, model, render, logdir="log"):
+        self.cfg = cfg
+        self.exp = cfg.exp
+        os.makedirs(self.exp, exist_ok=True)
+        self.model = model
+        self.render = render
+        self.recorder = Recorder(logdir)
+        self.check_val()
+        self.check_overlook()
+        self.log_interval = cfg.get("log_interval", 1000)
+        self.save_interval = cfg.get("save_interval", 100_000)
+        self.global_iterations = 0
+        self.rng = np.random.default_rng(666)
+
+    # ------------------------------------------------------------- setup
+    def check_val(self):
+        if "val" not in self.cfg:
+            self.val = None
+            return
+        dataset = load_object(self.cfg.val.dataset.module, self.cfg.val.dataset.args)
+        print(f">>> Load val dataset: {len(dataset)}")
+        self.val = DataLoader(dataset, batch_size=1)
+        if "render" in self.cfg.val:
+            self.render_val = load_object(
+                self.cfg.val.render.module, self.cfg.val.render.args
+            )
+        else:
+            self.render_val = self.render
+        self.lpips = None
+        if dataset.scales and dataset.scales[0] >= 4:
+            try:
+                import lpips
+                import torch  # noqa: F401
+
+                self.lpips = lpips.LPIPS(net="vgg", spatial=False)
+            except ImportError:
+                pass
+
+    def check_overlook(self):
+        self.overlook = None
+        self.overlook_oneframe = None
+        if "overlook" in self.cfg:
+            dataset = load_object(
+                self.cfg.overlook.dataset.module, self.cfg.overlook.dataset.args
+            )
+            print(f">>> Load overlook dataset: {len(dataset)}")
+            self.overlook = DataLoader(dataset, batch_size=1)
+        if "overlook_oneframe" in self.cfg:
+            self.overlook_oneframe = load_object(
+                self.cfg.overlook_oneframe.dataset.module,
+                self.cfg.overlook_oneframe.dataset.args,
+            )
+            self.overlook_oneframe_freq = self.cfg.overlook_oneframe.iteration
+
+    def to(self, device):
+        return self
+
+    def train_loader(self, dataset, args=None, base_iter=1):
+        stage = args if args is not None else self.cfg.train.loader.args
+        batch_size = stage.get("batch_size", 16)
+        iterations = stage.get("iterations", 1024) * base_iter
+        sampler = IterationBasedSampler(
+            dataset, iterations * batch_size, seed=int(self.rng.integers(1 << 31))
+        )
+        return DataLoader(dataset, sampler=sampler, batch_size=batch_size,
+                          drop_last=True)
+
+    def val_loader(self, dataset, index=None, num_workers=1):
+        return DataLoader(dataset, sampler=IndexSampler(dataset, index), batch_size=1)
+
+    # ----------------------------------------------------------- training
+    def _rand_radius_jitter(self):
+        """LoG/render/renderer.py:229-242: random LoD pixel threshold."""
+        u = float(self.rng.random())
+        if u > 0.5:
+            return 3 * 2 ** (u * 8 - 3)
+        return 3 * 2 ** (u * 2)
+
+    def training_step(self, model, data, step=True, accumulate_step=1):
+        B = np.asarray(data["camera"]["camera_center"]).shape[0]
+        total_loss = 0.0
+        output = {}
+        any_ok = False
+        for bn in range(B):
+            camera, background = self.render.prepare_camera(
+                data, bn, None, is_train=True, rng=self.rng
+            )
+            origin_radius = model.tree.min_resolution_pixel
+            if getattr(self.render, "use_rand_radius", False):
+                model.tree.min_resolution_pixel = self._rand_radius_jitter()
+            model.prepare_from_camera(camera)
+            model.tree.min_resolution_pixel = origin_radius
+            counts = model.visibility_flag["counts"]
+            if counts[0] == 0 and counts[1] == 0:
+                continue
+            gt = np.asarray(data["image"][bn]).transpose(2, 0, 1)
+            mask = None
+            if "mask_ignore" in data:
+                mask = np.asarray(data["mask_ignore"][bn])
+            view_index = int(np.asarray(data["index"])[bn])
+            metrics, aux = model.train_step(
+                camera, gt, background, mask_ignore=mask, view_index=view_index
+            )
+            total_loss += float(metrics["loss"])
+            output = {
+                "metrics": metrics,
+                "render": aux["render"],
+                "l1": float(metrics["l1"]),
+                "ssim": float(metrics["ssim"]),
+                "gt": gt,
+            }
+            any_ok = True
+        if not any_ok:
+            return False, {}, 0.0
+        loss = total_loss / B
+        if self.global_iterations % 10 == 0:
+            self.recorder.log(self.global_iterations, "train/loss", loss)
+            self.recorder.log(self.global_iterations, "train/loss_l1", output["l1"])
+            self.recorder.log(self.global_iterations, "train/loss_ssim", output["ssim"])
+        return True, output, loss
+
+    def init(self, dataset):
+        """Radius3d calibration pass (LoG/utils/trainer.py:167-209)."""
+        dataset.read_img = False
+        os.makedirs(join(self.exp, "init"), exist_ok=True)
+        if "init" in self.cfg.train:
+            dataset.set_state(**self.cfg.train.init.get("dataset_state", {}))
+            self.model.at_init_start()
+            for iteration in range(len(dataset)):
+                item = dataset[iteration]
+                self.model.clear()
+                self.model.init_view(item["camera"])
+            self.model.at_init_final()
+        dataset.set_partial_indices(list(range(len(dataset))))
+        self.model.eval()
+        for iteration in range(min(3, len(dataset))):
+            item = dataset[iteration]
+            batch = {
+                "camera": {k: np.asarray(v)[None] for k, v in item["camera"].items()},
+                "index": np.asarray([item.get("index", iteration)]),
+            }
+            ret = self.render.vis(batch, self.model)
+            vis = self.render.tensor_to_bgr(ret["render"][0])
+            imwrite(join(self.exp, "init", f"model_{iteration}.jpg"), vis)
+        self.model.train()
+        dataset.read_img = True
+        dataset.partial_indices = None
+
+    # --------------------------------------------------------- validation
+    def make_validation(self, iteration, visualize=False):
+        if self.val is None:
+            return
+        metric = defaultdict(list)
+        model = self.model
+        model.eval()
+        logdir = os.path.join(self.exp, "val", f"{iteration:06d}")
+        for _data in self.val:
+            model.clear()
+            output = self.render_val.vis(
+                _data, model, background=np.ones(3, np.float32)
+            )
+            pred = output["render"][0]
+            pred = self.render_val.process_pred(_data, pred)
+            gt = self.render_val.process_gt(_data)[0]
+            if model.view_correction is not None and model.view_correction.values.size:
+                gt_left = gt[:, :, : gt.shape[2] // 2]
+                pred_left = pred[:, :, : pred.shape[2] // 2]
+                denom = (pred_left**2).sum(axis=(-2, -1))
+                gain = (gt_left * pred_left).sum(axis=(-2, -1)) / np.maximum(
+                    denom, 1e-8
+                )
+                pred = np.clip(pred * gain[:, None, None], 0.0, 1.0)
+            metric["l1"].append(float(np.mean(np.abs(pred - gt))))
+            metric["psnr"].append(psnr(pred, gt))
+            metric["imgname"].append(_data["imgname"][0])
+            if visualize:
+                os.makedirs(logdir, exist_ok=True)
+                vis = self.render_val.tensor_to_bgr(
+                    np.concatenate([pred, gt], axis=1)
+                )
+                imwrite(join(logdir, f'{len(metric["imgname"]):06d}.jpg'), vis)
+        print(f">>> Validation: {iteration}: {len(metric['imgname'])} images")
+        record = {"iteration": iteration, "num_points": model.num_points}
+        for key, val in metric.items():
+            if key == "imgname":
+                continue
+            mean_val = sum(val) / len(val)
+            record[key] = mean_val
+            if self.global_iterations > 0:
+                self.recorder.log(self.global_iterations, f"val/{key}", mean_val)
+            print(f"    - {key}: {mean_val:.4f}")
+        model.train()
+        return record
+
+    def make_overlook(self, mode="rgb", iteration=-1):
+        if self.overlook is None:
+            return
+        if iteration == -1:
+            iteration = self.global_iterations
+        self.model.eval()
+        for _iter, _data in enumerate(self.overlook):
+            self.model.clear()
+            output = self.render.vis(_data, self.model)
+            vis = self.render.tensor_to_bgr(output["render"][0])
+            outname = os.path.join(
+                self.exp, "overlook", f"{mode}_{iteration:06d}_{_iter:02d}.jpg"
+            )
+            imwrite(outname, vis)
+        self.model.train()
+
+    def make_overlook_oneframe(self, iteration=-1):
+        if self.overlook_oneframe is None:
+            return
+        iteration = self.global_iterations // max(self.overlook_oneframe_freq, 1)
+        data = self.overlook_oneframe[iteration % len(self.overlook_oneframe)]
+        batch = {
+            "camera": {k: np.asarray(v)[None] for k, v in data["camera"].items()},
+            "index": np.asarray([data["index"]]),
+        }
+        self.model.eval()
+        self.model.clear()
+        output = self.render.vis(batch, self.model)
+        vis = self.render.tensor_to_bgr(output["render"][0])
+        outname = os.path.join(
+            self.exp, "overlook_oneframe", "rgb", f"{iteration:06d}.jpg"
+        )
+        imwrite(outname, vis)
+        self.model.train()
+
+    # --------------------------------------------------------- checkpoint
+    def save_ckpt(self, ckptname):
+        state_dict = self.model.state_dict()
+        payload = {
+            "state_dict": state_dict,
+            "global_iterations": self.global_iterations,
+        }
+        os.makedirs(os.path.dirname(ckptname) or ".", exist_ok=True)
+        with open(ckptname, "wb") as f:
+            pickle.dump(payload, f)
+        wotrain = {
+            k: v
+            for k, v in state_dict.items()
+            if "optimizer" not in k and "counter" not in k
+        }
+        with open(ckptname.replace(".pth", "_wotrain.pth"), "wb") as f:
+            pickle.dump(wotrain, f)
+
+    def check_iteration(self, stage_name, iteration, cfg_iteration):
+        if cfg_iteration == -1:
+            return False
+        if isinstance(cfg_iteration, int) and iteration % cfg_iteration == 0:
+            return True
+        if isinstance(cfg_iteration, dict):
+            if stage_name not in cfg_iteration:
+                return False
+            iters = cfg_iteration[stage_name]
+            if iters[0] < iteration < iters[1] and iteration % iters[2] == 0:
+                return True
+        return False
+
+    # ---------------------------------------------------------------- fit
+    def fit(self, dataset):
+        self.global_iterations = 0
+        self.global_start_time = time.time()
+        for stage_name, stage in self.cfg.train.stages.items():
+            print(
+                f"> Run stage: {stage_name}. "
+                f"{stage.loader.args.iterations * self.model.base_iter} iterations"
+            )
+            ckptname = stage.get("ckptname", join(self.exp, f"model_{stage_name}.pth"))
+            if os.path.exists(ckptname):
+                print(f"Load checkpoint: {ckptname}")
+                from .command import load_statedict
+
+                self.model.load_state_dict(load_statedict(ckptname), split="train")
+                self.global_iterations += (
+                    stage.loader.args.iterations * self.model.base_iter
+                )
+                continue
+            dataset.set_state(**stage.get("dataset_state", {}))
+            self.model.set_stage(stage_name)
+            self.model.set_state(**stage.get("model_state", {}))
+            if "render_state" in stage:
+                self.render.set_state(**stage.render_state)
+            trainloader = self.train_loader(
+                dataset, stage.loader.args, base_iter=self.model.base_iter
+            )
+            self.model.training_setup()
+            if self.val is not None:
+                self.make_validation(self.global_iterations + 1)
+            self.start_time = time.time()
+            moving_mean_loss = 0.0
+            need_log = True
+            n_batches = len(trainloader)
+            for iteration, data in enumerate(trainloader):
+                self.model.clear()
+                self.render.iteration = self.global_iterations
+                flag, output, loss = self.training_step(self.model, data)
+                if not flag:
+                    self.global_iterations += 1
+                    continue
+                moving_mean_loss += loss
+                if (iteration + 1) % self.log_interval == 0 or need_log:
+                    need_log = False
+                    self.log_in_training(
+                        iteration, n_batches, data,
+                        moving_mean_loss / max(self.log_interval, 1), output,
+                    )
+                    if (iteration + 1) % self.log_interval == 0 and iteration > 0:
+                        self.recorder.log(
+                            self.global_iterations,
+                            "train/loss_mean",
+                            moving_mean_loss / self.log_interval,
+                        )
+                        moving_mean_loss = 0.0
+                if self.val is not None and (iteration + 1) % self.cfg.val.iteration == 0:
+                    self.make_validation(self.global_iterations)
+                if self.overlook is not None and self.check_iteration(
+                    stage_name, iteration + 1, self.cfg.overlook.iteration
+                ):
+                    self.make_overlook()
+                if self.overlook_oneframe is not None and (
+                    iteration % self.overlook_oneframe_freq == 0
+                ):
+                    self.make_overlook_oneframe()
+                if (iteration + 1) % self.save_interval == 0:
+                    name = "model_latest.pth"
+                    print("Save checkpoint...: ", join(self.exp, name))
+                    self.save_ckpt(join(self.exp, name))
+                if (iteration + 1) < n_batches:
+                    flag_update = self.model.update_by_iteration(
+                        iteration, self.global_iterations
+                    )
+                    if flag_update:
+                        need_log = True
+                        self.recorder.log(
+                            self.global_iterations,
+                            "train/num_points",
+                            self.model.num_points,
+                        )
+                if self.global_iterations % 10 == 0:
+                    self.recorder.log(self.global_iterations, "train/lr", self.model.lr)
+                self.global_iterations += 1
+            ckptname = join(self.exp, f"model_{stage_name}.pth")
+            self.save_ckpt(ckptname)
+
+    def log_in_training(self, batch_idx, batch_total, data, loss, output):
+        global_time = time.time() - self.global_start_time
+        self.recorder.log(self.global_iterations, "train/time", global_time)
+        current_time = time.time() - getattr(self, "start_time", time.time())
+        print(
+            f"[{self.global_iterations:6d}: {batch_idx:6d}/{batch_total:6d}] "
+            f"{current_time:4.1f}s loss: {loss:.4f} model {self.model}"
+        )
+        self.start_time = time.time()
+        try:
+            render = np.asarray(output["render"])
+            gt = np.asarray(output["gt"])
+            vis = np.hstack(
+                [self.render.tensor_to_bgr(gt), self.render.tensor_to_bgr(render)]
+            )
+            outname = os.path.join(
+                self.exp, "vis", f"{self.global_iterations:06d}.jpg"
+            )
+            imwrite(outname, vis)
+        except Exception as exc:  # visualization must never kill training
+            print(f"[Trainer] vis failed: {exc}")
+        self.recorder.log(
+            self.global_iterations, "train/num_points", self.model.num_points
+        )
