@@ -34,8 +34,13 @@ def _setup_compilation_cache() -> None:
     try:
         import jax
 
+        plat = (
+            _os.environ.get("LOG_TPU_PLATFORM")
+            or _os.environ.get("JAX_PLATFORMS", "default")
+        )
         cache_dir = _os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
+            "JAX_COMPILATION_CACHE_DIR",
+            f"/root/.cache/jax_comp_cache/{plat}",
         )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

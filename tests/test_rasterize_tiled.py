@@ -51,11 +51,15 @@ def test_tiled_matches_reference():
     ref = rasterize_ref(**args)
     tiled = rasterize_tiled(**args, max_pairs=4096)
 
+    # Tolerance note: the tiled path culls at the 3-sigma tile rectangle
+    # (like the CUDA rasterizer), while the jnp oracle evaluates every
+    # (gaussian, pixel) pair; gaussians with opacity > ~0.35 can contribute
+    # up to opacity*exp(-4.5) ~ 1e-2 just outside the rectangle.
     np.testing.assert_allclose(
-        np.asarray(tiled["render"]), np.asarray(ref["render"]), atol=2e-5
+        np.asarray(tiled["render"]), np.asarray(ref["render"]), atol=1e-2
     )
     np.testing.assert_allclose(
-        np.asarray(tiled["alpha"]), np.asarray(ref["alpha"]), atol=2e-5
+        np.asarray(tiled["alpha"]), np.asarray(ref["alpha"]), atol=1e-2
     )
     np.testing.assert_array_equal(
         np.asarray(tiled["radii"]), np.asarray(ref["radii"])
@@ -68,12 +72,12 @@ def test_tiled_matches_reference():
     np.testing.assert_allclose(
         np.asarray(tiled["point_weight_pixel"]),
         np.asarray(ref["point_weight_pixel"]),
-        atol=2e-5,
+        atol=1e-2,
     )
     np.testing.assert_allclose(
         np.asarray(tiled["point_weight"]),
         np.asarray(ref["point_weight"]),
-        atol=2e-5,
+        atol=1e-2,
     )
 
 
@@ -85,3 +89,63 @@ def test_tiled_empty_scene():
     img = np.asarray(tiled["render"])
     np.testing.assert_allclose(img[0], 0.1, atol=1e-6)
     assert np.all(np.asarray(tiled["point_id_pixel"]) == -1)
+
+
+@pytest.mark.slow
+def test_tiled_gradients_match_reference():
+    """Backward kernel vs autodiff of the jnp oracle on a smooth scene
+    (all gaussians cover the image above the alpha cutoff so rect-cull
+    differences don't pollute the comparison)."""
+    import jax
+
+    rng = np.random.default_rng(5)
+    n = 8
+    cam = ring_cameras(3, H, W)[1]
+    from log_tpu.dataset.base import prepare_camera
+
+    pc = prepare_camera(cam, 1, 0.01, 100.0)
+    tan_fovx = math.tan(pc["FoVx"] * 0.5)
+    tan_fovy = math.tan(pc["FoVy"] * 0.5)
+    base = dict(
+        world_view=jnp.asarray(pc["world_view_transform"]),
+        full_proj=jnp.asarray(pc["full_proj_transform"]),
+        focal_x=W / (2 * tan_fovx),
+        focal_y=H / (2 * tan_fovy),
+        tan_fovx=tan_fovx,
+        tan_fovy=tan_fovy,
+        background=jnp.asarray([0.3, 0.1, 0.2], jnp.float32),
+        image_height=H,
+        image_width=W,
+    )
+    xyz = jnp.asarray(rng.normal(size=(n, 3)) * 0.15, jnp.float32)
+    colors = jnp.asarray(rng.uniform(0.2, 0.8, (n, 3)), jnp.float32)
+    opacity = jnp.asarray(rng.uniform(0.3, 0.7, n), jnp.float32)
+    scaling = jnp.full((n, 3), 0.8, jnp.float32)
+    rotation = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+    target = jnp.zeros((3, H, W))
+
+    def make_loss(raster, **kw):
+        def loss(xyz_, colors_, opacity_, scaling_, offset_):
+            out = raster(
+                xyz=xyz_, colors=colors_, opacity=opacity_, scaling=scaling_,
+                rotation=rotation, means2d_offset=offset_, **base, **kw,
+            )
+            return jnp.sum((out["render"] - target) ** 2) + jnp.sum(
+                out["alpha"] * 0.1
+            )
+        return loss
+
+    offset = jnp.zeros((n, 2))
+    g_ref = jax.grad(make_loss(rasterize_ref), argnums=(0, 1, 2, 3, 4))(
+        xyz, colors, opacity, scaling, offset
+    )
+    g_tiled = jax.grad(
+        make_loss(rasterize_tiled, max_pairs=2048), argnums=(0, 1, 2, 3, 4)
+    )(xyz, colors, opacity, scaling, offset)
+    names = ["xyz", "colors", "opacity", "scaling", "means2d"]
+    for name, gr, gt in zip(names, g_ref, g_tiled):
+        gr, gt = np.asarray(gr), np.asarray(gt)
+        scale = max(np.abs(gr).max(), 1e-3)
+        np.testing.assert_allclose(
+            gt, gr, atol=2e-2 * scale, err_msg=f"grad mismatch for {name}"
+        )
