@@ -170,6 +170,8 @@ class LoG:
             }
             leaf_opt = jnp.zeros((cap,), bool)
             num_levels = 1
+        from ..ops import pick_backend, pick_max_pairs
+
         keep_leaf, keep_node, counts = prepare_visibility(
             self.gaussian.params(),
             tree_arrays,
@@ -182,6 +184,8 @@ class LoG:
             cam["image_width"],
             stage_has_tree,
             num_levels,
+            backend=pick_backend(self.capacity),
+            max_pairs=pick_max_pairs(self.capacity),
         )
         c = np.asarray(counts)
         k_leaf = next_capacity(int(c[0]), 256)
@@ -225,7 +229,7 @@ class LoG:
 
     # ------------------------------------------------------- fused step
     def train_step(self, camera: dict, gt_image, background, mask_ignore=None,
-                   view_index: int = 0):
+                   view_index: int = 0, gt_depth=None, render_depth=False):
         """One fused optimization step. Requires prepare_from_camera first."""
         from ..render.renderer import camera_device
 
@@ -233,6 +237,9 @@ class LoG:
         assert self.optimizer is not None, "call training_setup first"
         vf = self.visibility_flag
         cam = camera_device(camera)
+        from ..ops import pick_backend, pick_max_pairs
+
+        k_total = vf["k_leaf"] + vf["k_node"]
         cfg = StepConfig(
             image_height=cam["image_height"],
             image_width=cam["image_width"],
@@ -245,6 +252,9 @@ class LoG:
             ),
             has_mask=mask_ignore is not None,
             opt_keys=tuple(k for k in self.gaussian.keys),
+            backend=pick_backend(k_total),
+            max_pairs=pick_max_pairs(k_total),
+            render_depth=render_depth and gt_depth is not None,
         )
         self.optimizer.global_steps += 1
         step = self.optimizer.global_steps
@@ -264,6 +274,11 @@ class LoG:
             if mask_ignore is not None
             else jnp.ones((1, 1, 1), jnp.float32)
         )
+        depth_arr = (
+            jnp.asarray(gt_depth)
+            if cfg.render_depth
+            else jnp.ones((1, 1), jnp.float32)
+        )
         params, moments, counter, metrics, aux = fused_train_step(
             self.gaussian.params(),
             self.optimizer.moments,
@@ -277,6 +292,8 @@ class LoG:
             jnp.float32(step),
             corr,
             mask,
+            depth_arr,
+            jax.random.PRNGKey(int(step)),
             cfg,
         )
         for k, v in params.items():

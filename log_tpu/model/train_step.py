@@ -35,8 +35,10 @@ class StepConfig:
     use_correction: bool = False
     has_mask: bool = False
     opt_keys: tuple = ("xyz", "colors", "scaling", "opacity", "rotation", "shs")
-    backend: str = "reference"  # rasterizer backend
+    backend: str = "reference"  # 'reference' | 'tiled'
+    max_pairs: int = 1 << 18  # tiled backend pair capacity
     chunk: int = 32
+    render_depth: bool = False  # add SSI monocular-depth loss
 
 
 UNIT_QUAT = (1.0, 0.0, 0.0, 0.0)
@@ -67,8 +69,7 @@ def _activate_and_rasterize(slices, offset, cam, background, lane_valid, cfg):
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
         )
         colors = colors + eval_sh(dirs, slices["shs"], degree=cfg.sh_degree)
-    raster = rasterize_ref.rasterize  # TODO: tiled pallas backend switch
-    out = raster(
+    kwargs = dict(
         xyz=slices["xyz"],
         colors=colors,
         opacity=opacity,
@@ -87,9 +88,52 @@ def _activate_and_rasterize(slices, offset, cam, background, lane_valid, cfg):
         active_mask=lane_valid,
         mode=cfg.mode,
         use_filter=True,
-        chunk=cfg.chunk,
     )
+    if cfg.backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        out = rasterize_tiled(
+            **kwargs, max_pairs=cfg.max_pairs, with_stats=True
+        )
+    else:
+        out = rasterize_ref.rasterize(**kwargs, chunk=cfg.chunk)
     return out
+
+
+def _activate_and_rasterize_colors(slices, offset, colors, cam, background,
+                                   lane_valid, cfg):
+    """Aux rasterization with precomputed per-point colors (depth pass)."""
+    scaling = jnp.exp(slices["scaling"])
+    opacity = jax.nn.sigmoid(slices["opacity"][:, 0])
+    rotation = slices["rotation"] / jnp.linalg.norm(
+        slices["rotation"], axis=-1, keepdims=True
+    )
+    kwargs = dict(
+        xyz=slices["xyz"],
+        colors=colors,
+        opacity=opacity,
+        scaling=scaling,
+        rotation=rotation,
+        means2d_offset=offset,
+        world_view=cam["world_view"],
+        full_proj=cam["full_proj"],
+        focal_x=cam["focal_x"],
+        focal_y=cam["focal_y"],
+        tan_fovx=cam["tan_fovx"],
+        tan_fovy=cam["tan_fovy"],
+        background=background,
+        image_height=cfg.image_height,
+        image_width=cfg.image_width,
+        active_mask=lane_valid,
+        mode=cfg.mode,
+        use_filter=True,
+    )
+    if cfg.backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        return rasterize_tiled(**kwargs, max_pairs=cfg.max_pairs,
+                               with_stats=False)
+    return rasterize_ref.rasterize(**kwargs, chunk=cfg.chunk)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1, 2))
@@ -106,6 +150,8 @@ def fused_train_step(
     global_step: jax.Array,
     correction: jax.Array,  # (3,) this view's gain (ones if unused)
     mask_ignore: jax.Array,  # (1, H, W) or (1, 1, 1) ones if unused
+    gt_depth: jax.Array,  # (H, W) monocular depth (ones if unused)
+    rng_key: jax.Array,  # PRNG key for depth patches
     cfg: StepConfig,
 ):
     """Returns (params, moments, counter, metrics, aux)."""
@@ -144,6 +190,29 @@ def fused_train_step(
         l1 = jnp.mean(jnp.abs(render_l1 - gt_eff))
         ssim = ssim_loss(render_ssim, gt_eff)
         loss = 0.8 * l1 + 0.2 * ssim
+        if cfg.render_depth:
+            # second rasterization with (camera depth, world z, 1) as colors
+            # (LoG/render/renderer.py:186-201) + SSI patch loss (:268-292)
+            from ..render.loss import depth_patch_loss
+
+            depth_cols = jnp.stack(
+                [
+                    out["depth_cam"],
+                    slices_["xyz"][:, 2],
+                    jnp.ones_like(out["depth_cam"]),
+                ],
+                axis=-1,
+            )
+            aux_out = _activate_and_rasterize_colors(
+                slices_, offset_, depth_cols, cam, background, lane_valid, cfg
+            )
+            d_loss = depth_patch_loss(
+                aux_out["render"][0],
+                gt_depth,
+                aux_out["render"][2],
+                rng_key,
+            )
+            loss = loss + 1.0 * d_loss
         aux = {
             "render": render,
             "radii": out["radii"],
@@ -205,7 +274,15 @@ def fused_train_step(
 
 @partial(
     jax.jit,
-    static_argnames=("image_height", "image_width", "stage_has_tree", "num_levels", "mode"),
+    static_argnames=(
+        "image_height",
+        "image_width",
+        "stage_has_tree",
+        "num_levels",
+        "mode",
+        "backend",
+        "max_pairs",
+    ),
 )
 def prepare_visibility(
     params: dict,
@@ -220,6 +297,8 @@ def prepare_visibility(
     stage_has_tree: bool,
     num_levels: int,
     mode: str = "antialias",
+    backend: str = "reference",
+    max_pairs: int = 1 << 18,
 ):
     """Per-camera visibility + LoD cut. Returns (keep_leaf, keep_node, counts).
 
@@ -251,7 +330,7 @@ def prepare_visibility(
         params["rotation"], axis=-1, keepdims=True
     )
     opacity = jax.nn.sigmoid(params["opacity"][:, 0])
-    check = rasterize_ref.rasterize(
+    check_kwargs = dict(
         xyz=xyz,
         colors=jnp.ones_like(xyz),
         opacity=opacity,
@@ -270,8 +349,15 @@ def prepare_visibility(
         active_mask=root_candidate,
         mode=mode,
         use_filter=True,
-        chunk=64,
     )
+    if backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        check = rasterize_tiled(
+            **check_kwargs, max_pairs=max_pairs, with_stats=True
+        )
+    else:
+        check = rasterize_ref.rasterize(**check_kwargs, chunk=64)
     root_visible = root_candidate & (check["point_weight"] > 1e-8)
 
     radius2d = gm.compute_radius2d(

@@ -1,0 +1,34 @@
+"""Compute ops: rasterization backends + math kernels.
+
+`pick_backend`/`pick_max_pairs` centralize the runtime choice between the
+pure-jnp reference rasterizer (oracle; fine for small scenes and CPU tests)
+and the tiled Pallas production path.
+"""
+from __future__ import annotations
+
+import os
+
+
+def pick_backend(num_points: int | None = None) -> str:
+    env = os.environ.get("LOG_TPU_BACKEND")
+    if env:
+        return env
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return "tiled"
+    # CPU: the Pallas path runs in interpret mode (slow) — use the oracle
+    # unless the scene is big enough that O(P*HW) is worse.
+    if num_points is not None and num_points > 16384:
+        return "tiled"
+    return "reference"
+
+
+def pick_max_pairs(k_visible: int) -> int:
+    """Static pair capacity for a visible-set bucket (~8 tiles/gaussian
+    headroom, floor 64k, cap 4M)."""
+    cap = 1 << 16
+    need = k_visible * 8
+    while cap < need and cap < (1 << 22):
+        cap <<= 1
+    return cap

@@ -151,7 +151,7 @@ class NaiveRendererAndLoss(BaseRender):
         colors = act.colors_activation(
             params, cam["camera_center"], model.gaussian.active_sh_degree
         )
-        out = rasterize_ref.rasterize(
+        kwargs = dict(
             xyz=params["xyz"],
             colors=colors if extra_colors is None else extra_colors,
             opacity=act.opacity_activation(params["opacity"][:, 0]),
@@ -171,6 +171,18 @@ class NaiveRendererAndLoss(BaseRender):
             mode=self.mode,
             use_filter=False,
         )
+        from ..ops import pick_backend, pick_max_pairs
+
+        if pick_backend(params["xyz"].shape[0]) == "tiled":
+            from ..ops.rasterize_tiled import rasterize_tiled
+
+            out = rasterize_tiled(
+                **kwargs,
+                max_pairs=pick_max_pairs(params["xyz"].shape[0]),
+                with_stats=False,
+            )
+        else:
+            out = rasterize_ref.rasterize(**kwargs)
         return out
 
     def vis(self, batch, model, background=None):

@@ -209,3 +209,48 @@ def read_model(path, ext=".bin"):
         images = read_images_text(os.path.join(path, "images.txt"))
         points3d = read_points3d_text(os.path.join(path, "points3D.txt"))
     return cameras, images, points3d
+
+
+# ------------------------------------------------------------------ writers
+def write_cameras_binary(cameras, path):
+    with open(path, "wb") as fid:
+        fid.write(struct.pack("<Q", len(cameras)))
+        for cam in cameras.values():
+            model_id = CAMERA_MODEL_NAMES[cam.model].model_id
+            fid.write(
+                struct.pack("<iiQQ", cam.id, model_id, cam.width, cam.height)
+            )
+            for p in cam.params:
+                fid.write(struct.pack("<d", float(p)))
+
+
+def write_images_binary(images, path):
+    with open(path, "wb") as fid:
+        fid.write(struct.pack("<Q", len(images)))
+        for img in images.values():
+            fid.write(
+                struct.pack(
+                    "<idddddddi",
+                    img.id,
+                    *[float(q) for q in img.qvec],
+                    *[float(t) for t in img.tvec],
+                    img.camera_id,
+                )
+            )
+            fid.write(img.name.encode("utf-8") + b"\x00")
+            fid.write(struct.pack("<Q", len(img.point3D_ids)))
+            for xy, pid in zip(img.xys, img.point3D_ids):
+                fid.write(struct.pack("<ddq", float(xy[0]), float(xy[1]), int(pid)))
+
+
+def write_points3d_binary(points3d, path):
+    with open(path, "wb") as fid:
+        fid.write(struct.pack("<Q", len(points3d)))
+        for pt in points3d.values():
+            fid.write(struct.pack("<Q", pt.id))
+            fid.write(struct.pack("<ddd", *[float(x) for x in pt.xyz]))
+            fid.write(struct.pack("<BBB", *[int(c) for c in pt.rgb]))
+            fid.write(struct.pack("<d", float(pt.error)))
+            fid.write(struct.pack("<Q", len(pt.image_ids)))
+            for iid, pidx in zip(pt.image_ids, pt.point2D_idxs):
+                fid.write(struct.pack("<ii", int(iid), int(pidx)))

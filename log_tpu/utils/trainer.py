@@ -141,8 +141,13 @@ class Trainer:
             if "mask_ignore" in data:
                 mask = np.asarray(data["mask_ignore"][bn])
             view_index = int(np.asarray(data["index"])[bn])
+            gt_depth = None
+            if "depth" in data and isinstance(data["depth"][bn], np.ndarray):
+                gt_depth = np.asarray(data["depth"][bn])
             metrics, aux = model.train_step(
-                camera, gt, background, mask_ignore=mask, view_index=view_index
+                camera, gt, background, mask_ignore=mask, view_index=view_index,
+                gt_depth=gt_depth,
+                render_depth=getattr(self.render, "render_depth", False),
             )
             total_loss += float(metrics["loss"])
             output = {

