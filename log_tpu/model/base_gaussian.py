@@ -35,6 +35,11 @@ class BaseGaussian(GaussianPoint):
 
     tree = _Tree()
 
+    @property
+    def gaussian(self):
+        """The renderer/trainer address `model.gaussian`; here it is self."""
+        return self
+
     def train(self):
         self.training = True
 
