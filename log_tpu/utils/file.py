@@ -114,9 +114,18 @@ def load_pointcloud(filename, scale3d=1.0, **kwargs):
 def knn_mean_sq_dist(xyz: np.ndarray, k: int = 3) -> np.ndarray:
     """Mean squared distance to the k nearest neighbors per point.
 
-    Drop-in for simple_knn._C.distCUDA2 (LoG/utils/file.py:88-91). Host-side
-    cKDTree: init-only cost.
+    Drop-in for simple_knn._C.distCUDA2 (LoG/utils/file.py:88-91). Uses the
+    native C++ grid-hash (log_tpu/native/knn.cpp) when it builds, else a
+    scipy cKDTree; init-only cost either way.
     """
+    try:
+        from ..native import knn_mean_sq_dist as native_knn
+
+        out = native_knn(xyz, k=k)
+        if out is not None:
+            return out
+    except Exception as exc:
+        print(f"[knn] native path unavailable ({exc}); scipy fallback")
     from scipy.spatial import cKDTree
 
     tree = cKDTree(xyz)
