@@ -258,11 +258,9 @@ class LoG:
         )
         self.optimizer.global_steps += 1
         step = self.optimizer.global_steps
-        lrs = {
-            k: jnp.asarray(v)
-            for k, v in _host_lrs(self.optimizer, step).items()
-        }
-        self.lr = float(lrs.get("xyz", 0.0))
+        host_lrs = _host_lrs(self.optimizer, step)
+        lrs = {k: jnp.asarray(v, jnp.float32) for k, v in host_lrs.items()}
+        self.lr = host_lrs.get("xyz", 0.0)
         self.optimizer.xyz_lr = self.lr
         corr = (
             jnp.asarray(self.view_correction.get(view_index))

@@ -149,23 +149,30 @@ class Trainer:
                 gt_depth=gt_depth,
                 render_depth=getattr(self.render, "render_depth", False),
             )
-            total_loss += float(metrics["loss"])
+            # keep metrics as device scalars — a float() here is a host sync
+            # on every step (expensive through remote runtimes); the fit loop
+            # materializes them only at log cadence.
             output = {
                 "metrics": metrics,
                 "render": aux["render"],
-                "l1": float(metrics["l1"]),
-                "ssim": float(metrics["ssim"]),
+                "loss_dev": metrics["loss"],
                 "gt": gt,
             }
             any_ok = True
         if not any_ok:
             return False, {}, 0.0
-        loss = total_loss / B
         if self.global_iterations % 10 == 0:
+            loss = float(output["loss_dev"])
             self.recorder.log(self.global_iterations, "train/loss", loss)
-            self.recorder.log(self.global_iterations, "train/loss_l1", output["l1"])
-            self.recorder.log(self.global_iterations, "train/loss_ssim", output["ssim"])
-        return True, output, loss
+            self.recorder.log(
+                self.global_iterations, "train/loss_l1", float(output["metrics"]["l1"])
+            )
+            self.recorder.log(
+                self.global_iterations, "train/loss_ssim",
+                float(output["metrics"]["ssim"]),
+            )
+            return True, output, loss
+        return True, output, output["loss_dev"]
 
     def init(self, dataset):
         """Radius3d calibration pass (LoG/utils/trainer.py:167-209)."""
@@ -337,7 +344,7 @@ class Trainer:
             if self.val is not None:
                 self.make_validation(self.global_iterations + 1)
             self.start_time = time.time()
-            moving_mean_loss = 0.0
+            loss_window = []
             need_log = True
             n_batches = len(trainloader)
             for iteration, data in enumerate(trainloader):
@@ -347,20 +354,18 @@ class Trainer:
                 if not flag:
                     self.global_iterations += 1
                     continue
-                moving_mean_loss += loss
+                loss_window.append(loss)  # device scalars; no sync
                 if (iteration + 1) % self.log_interval == 0 or need_log:
                     need_log = False
+                    mean_loss = float(np.mean([float(x) for x in loss_window[-self.log_interval:]])) if loss_window else 0.0
                     self.log_in_training(
-                        iteration, n_batches, data,
-                        moving_mean_loss / max(self.log_interval, 1), output,
+                        iteration, n_batches, data, mean_loss, output
                     )
                     if (iteration + 1) % self.log_interval == 0 and iteration > 0:
                         self.recorder.log(
-                            self.global_iterations,
-                            "train/loss_mean",
-                            moving_mean_loss / self.log_interval,
+                            self.global_iterations, "train/loss_mean", mean_loss
                         )
-                        moving_mean_loss = 0.0
+                        loss_window = []
                 if self.val is not None and (iteration + 1) % self.cfg.val.iteration == 0:
                     self.make_validation(self.global_iterations)
                 if self.overlook is not None and self.check_iteration(
