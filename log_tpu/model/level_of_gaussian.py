@@ -247,8 +247,13 @@ class LoG:
             k_node=vf["k_node"],
             sh_degree=self.gaussian.active_sh_degree,
             mode="antialias",
+            # the reference steps the per-view gain only after base_iter
+            # (LoG/model/level_of_gaussian.py:395-398); before that the gain
+            # is 1.0, so gating apply+update together is equivalent
             use_correction=(
-                self.view_correction is not None and self.view_correction.enabled
+                self.view_correction is not None
+                and self.view_correction.values.shape[0] > 0
+                and self.optimizer.global_steps >= self.base_iter
             ),
             has_mask=mask_ignore is not None,
             opt_keys=tuple(k for k in self.gaussian.keys),
@@ -262,11 +267,13 @@ class LoG:
         lrs = {k: jnp.asarray(v, jnp.float32) for k, v in host_lrs.items()}
         self.lr = host_lrs.get("xyz", 0.0)
         self.optimizer.xyz_lr = self.lr
-        corr = (
-            jnp.asarray(self.view_correction.get(view_index))
-            if cfg.use_correction
-            else jnp.ones(3, jnp.float32)
-        )
+        corr_state = self._corr_device_state() if cfg.use_correction else {
+            "values": jnp.ones((1, 3), jnp.float32),
+            "m1": jnp.zeros((1, 3), jnp.float32),
+            "m2": jnp.zeros((1, 3), jnp.float32),
+            "vmax": jnp.zeros((1, 3), jnp.float32),
+            "steps": jnp.zeros((1,), jnp.int32),
+        }
         mask = (
             jnp.asarray(mask_ignore)[None]
             if mask_ignore is not None
@@ -277,7 +284,7 @@ class LoG:
             if cfg.render_depth
             else jnp.ones((1, 1), jnp.float32)
         )
-        params, moments, counter, metrics, aux = fused_train_step(
+        params, moments, counter, corr_state, metrics, aux = fused_train_step(
             self.gaussian.params(),
             self.optimizer.moments,
             self.counter.data,
@@ -288,7 +295,8 @@ class LoG:
             jnp.asarray(background),
             lrs,
             jnp.float32(step),
-            corr,
+            corr_state,
+            jnp.int32(view_index),
             mask,
             depth_arr,
             jax.random.PRNGKey(int(step)),
@@ -299,8 +307,32 @@ class LoG:
         self.optimizer.moments = moments
         self.counter.data = counter
         if cfg.use_correction:
-            self.view_correction.step(view_index, np.asarray(metrics["grad_corr"]))
+            self._corr_dev = corr_state
         return metrics, aux
+
+    def _corr_device_state(self):
+        """Per-view correction Adam state, device-resident across steps."""
+        if getattr(self, "_corr_dev", None) is None:
+            c = self.view_correction
+            if not c._setup:
+                c.training_setup()
+            self._corr_dev = {
+                "values": jnp.asarray(c.values),
+                "m1": jnp.asarray(c.exp_avg),
+                "m2": jnp.asarray(c.exp_avg_sq),
+                "vmax": jnp.asarray(c.max_exp_avg_sq),
+                "steps": jnp.asarray(c.steps, jnp.int32),
+            }
+        return self._corr_dev
+
+    def _sync_corrector_to_host(self):
+        if getattr(self, "_corr_dev", None) is not None:
+            c = self.view_correction
+            c.values = np.asarray(self._corr_dev["values"])
+            c.exp_avg = np.asarray(self._corr_dev["m1"])
+            c.exp_avg_sq = np.asarray(self._corr_dev["m2"])
+            c.max_exp_avg_sq = np.asarray(self._corr_dev["vmax"])
+            c.steps = np.asarray(self._corr_dev["steps"]).astype(np.int64)
 
     # ------------------------------------------------------------- init
     def at_init_start(self):
@@ -612,6 +644,7 @@ class LoG:
                 for key, val in dd.items():
                     sd[f"optimizer.{mk}.{key}"] = val
         if self.view_correction is not None:
+            self._sync_corrector_to_host()
             sd["view_correction.view_correction"] = self.view_correction.values
         return sd
 

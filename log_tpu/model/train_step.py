@@ -148,13 +148,14 @@ def fused_train_step(
     background: jax.Array,
     lrs: dict,
     global_step: jax.Array,
-    correction: jax.Array,  # (3,) this view's gain (ones if unused)
+    corr_state: dict,  # per-view gain Adam state ({} entries ignored if off)
+    view_index: jax.Array,  # () int32 current training view
     mask_ignore: jax.Array,  # (1, H, W) or (1, 1, 1) ones if unused
     gt_depth: jax.Array,  # (H, W) monocular depth (ones if unused)
     rng_key: jax.Array,  # PRNG key for depth patches
     cfg: StepConfig,
 ):
-    """Returns (params, moments, counter, metrics, aux)."""
+    """Returns (params, moments, counter, corr_state, metrics, aux)."""
     cap = params["xyz"].shape[0]
     idx_leaf = jnp.nonzero(keep_leaf, size=cfg.k_leaf, fill_value=cap)[0]
     if cfg.k_node > 0:
@@ -169,6 +170,10 @@ def fused_train_step(
         {k: params[k] for k in cfg.opt_keys if k in params}, index, lane_valid
     )
     offset0 = jnp.zeros((K, 2), jnp.float32)
+    if cfg.use_correction:
+        correction = corr_state["values"][view_index]
+    else:
+        correction = jnp.ones(3, jnp.float32)
 
     def loss_fn(slices_, offset_, corr_):
         out = _activate_and_rasterize(
@@ -257,19 +262,41 @@ def fused_train_step(
     params = dict(params)
     params["scaling"] = params["scaling"].at[sentinel_idx].set(s, mode="drop")
 
+    if cfg.use_correction:
+        # per-view AMSGrad Adam on the 3-channel gain
+        # (LoG/model/corrector.py:35-62: log-lerp LR 0.1->0.001 over 100
+        # per-view steps, eps=1e-15)
+        vsteps = corr_state["steps"].at[view_index].add(1)
+        st = vsteps[view_index].astype(jnp.float32)
+        t = jnp.clip(st / 100.0, 0.0, 1.0)
+        lr = jnp.exp(jnp.log(0.1) * (1 - t) + jnp.log(0.001) * t)
+        m1 = 0.9 * corr_state["m1"][view_index] + 0.1 * g_corr
+        m2 = 0.999 * corr_state["m2"][view_index] + 0.001 * g_corr * g_corr
+        vmax = jnp.maximum(corr_state["vmax"][view_index], m2)
+        bias1 = 1 - 0.9**st
+        bias2 = 1 - 0.999**st
+        denom = jnp.sqrt(vmax) / jnp.sqrt(bias2) + 1e-15
+        new_val = corr_state["values"][view_index] - (lr / bias1) * (m1 / denom)
+        corr_state = {
+            "values": corr_state["values"].at[view_index].set(new_val),
+            "m1": corr_state["m1"].at[view_index].set(m1),
+            "m2": corr_state["m2"].at[view_index].set(m2),
+            "vmax": corr_state["vmax"].at[view_index].set(vmax),
+            "steps": vsteps,
+        }
+
     metrics = {
         "loss": loss,
         "l1": aux["l1"],
         "ssim": aux["ssim"],
         "num_rendered": jnp.sum(flag_vis & lane_valid),
-        "grad_corr": g_corr,
     }
     step_aux = {
         "render": aux["render"],
         "radii": aux["radii"],
         "index": index,
     }
-    return params, moments, counter, metrics, step_aux
+    return params, moments, counter, corr_state, metrics, step_aux
 
 
 @partial(

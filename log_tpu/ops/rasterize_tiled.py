@@ -163,21 +163,18 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
     total_c = jnp.minimum(total, A)
     offsets_c = jnp.minimum(offsets, A)  # overflow runs scatter out of range
 
-    # integer piecewise rows: [offsets, x0, y0, rect_w, gid]
-    int_rows = jnp.stack(
+    # ONE piecewise expansion for all 15 rows (10 splat-value rows + 5
+    # integer geometry rows carried exactly in f32 — all magnitudes < 2^24)
+    int_rows_f = jnp.stack(
         [
-            offsets.astype(jnp.int32),
-            x0,
-            y0,
-            jnp.maximum(rect_w, 1),
-            jnp.arange(P, dtype=jnp.int32),
+            offsets.astype(jnp.float32),
+            x0.astype(jnp.float32),
+            y0.astype(jnp.float32),
+            jnp.maximum(rect_w, 1).astype(jnp.float32),
+            jnp.arange(P, dtype=jnp.float32),
         ],
         axis=0,
     )
-    int_pc = piecewise_expand(int_rows, offsets_c, A)
-    off_pc, x0_pc, y0_pc, w_pc, gid_pc = (int_pc[i] for i in range(5))
-
-    # float piecewise rows: the 10 splat-value rows
     val_rows = jnp.stack(
         [
             px[:, 0],
@@ -193,7 +190,17 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
         ],
         axis=0,
     )
-    val_pc = piecewise_expand(val_rows, offsets_c, A)
+    all_pc = piecewise_expand(
+        jnp.concatenate([val_rows, jax.lax.stop_gradient(int_rows_f)], axis=0),
+        offsets_c,
+        A,
+    )
+    val_pc = all_pc[:N_VAL_ROWS]
+    off_pc = all_pc[N_VAL_ROWS + 0].astype(jnp.int32)
+    x0_pc = all_pc[N_VAL_ROWS + 1].astype(jnp.int32)
+    y0_pc = all_pc[N_VAL_ROWS + 2].astype(jnp.int32)
+    w_pc = jnp.maximum(all_pc[N_VAL_ROWS + 3].astype(jnp.int32), 1)
+    gid_pc = all_pc[N_VAL_ROWS + 4].astype(jnp.int32)
 
     j = jnp.arange(A, dtype=jnp.int32)
     k = j - off_pc
@@ -207,9 +214,11 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
         tile_id, depth_key, gid_pc, val_pc
     )
 
-    arange_t = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_s, arange_t, side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_s, arange_t, side="right").astype(jnp.int32)
+    # one searchsorted over num_tiles+1 boundaries; counts are the diffs
+    arange_t1 = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
+    tile_start = starts[:-1]
+    tile_end = starts[1:]
 
     # pack (16, A + spare chunk): rows 0..9 values, rest zero
     pad = jnp.zeros((N_ROWS - N_VAL_ROWS, A), jnp.float32)

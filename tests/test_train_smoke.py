@@ -130,3 +130,43 @@ def test_init_stage_densify(dataset):
     model.prepare_from_camera(item["camera"])
     metrics, _ = model.train_step(item["camera"], gt, bg)
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_view_correction_training(dataset):
+    """Per-view gain adapts in-jit after base_iter (Corrector contract)."""
+    cfg = dict(MODEL_CFG)
+    cfg["use_view_correction"] = True
+    model = LoG(**cfg)
+    from log_tpu.utils.file import knn_mean_sq_dist
+
+    pc = dataset.noisy_pointcloud()
+    scales = np.sqrt(np.maximum(knn_mean_sq_dist(pc["xyz"]), 1e-7))
+    model.gaussian.register_by_pointcloud(
+        pc["xyz"], pc["colors"], scales, init_opacity=0.5
+    )
+    model.counter.reset(model.num_points, model.capacity)
+    model.counter.set_numpy(
+        {
+            "radius3d_min": np.full(model.num_points, 1e-4, np.float32),
+            "radius3d_max": np.full(model.num_points, 1.0, np.float32),
+        },
+        model.capacity,
+    )
+    model.base_iter = 2  # enable correction quickly
+    model.view_correction.init(len(dataset))
+    model.training_setup()
+    bg = dataset.background
+    rng = np.random.default_rng(0)
+    for step in range(8):
+        item = dataset[int(rng.integers(len(dataset)))]
+        gt = item["image"].transpose(2, 0, 1) * 0.7  # force a gain mismatch
+        model.prepare_from_camera(item["camera"])
+        model.train_step(item["camera"], gt, bg, view_index=item["index"])
+    model._sync_corrector_to_host()
+    gains = model.view_correction.values
+    assert gains.shape == (len(dataset), 3)
+    # at least one view's gain moved off 1.0 toward darkening
+    assert (np.abs(gains - 1.0) > 1e-4).any(), gains
+    sd = model.state_dict()
+    assert "view_correction.view_correction" in sd
