@@ -52,6 +52,8 @@ class Trainer:
         self.check_overlook()
         self.log_interval = cfg.get("log_interval", 1000)
         self.save_interval = cfg.get("save_interval", 100_000)
+        # image dumps pull frames off-device; disable for remote runtimes
+        self.save_vis = cfg.get("save_vis", True)
         self.global_iterations = 0
         self.rng = np.random.default_rng(666)
 
@@ -188,7 +190,7 @@ class Trainer:
             self.model.at_init_final()
         dataset.set_partial_indices(list(range(len(dataset))))
         self.model.eval()
-        for iteration in range(min(3, len(dataset))):
+        for iteration in range(min(3, len(dataset)) if self.save_vis else 0):
             item = dataset[iteration]
             batch = {
                 "camera": {k: np.asarray(v)[None] for k, v in item["camera"].items()},
@@ -203,35 +205,48 @@ class Trainer:
 
     # --------------------------------------------------------- validation
     def make_validation(self, iteration, visualize=False):
+        """L1/PSNR on held-out views (LoG/utils/trainer.py:298-364).
+
+        Metrics are computed ON DEVICE and fetched as scalars — pulling whole
+        frames is prohibitively slow on remote runtimes; image dumps only when
+        save_vis/visualize ask for them."""
         if self.val is None:
             return
+        import jax.numpy as jnp
+
         metric = defaultdict(list)
         model = self.model
         model.eval()
         logdir = os.path.join(self.exp, "val", f"{iteration:06d}")
+        use_corr = (
+            getattr(model, "view_correction", None) is not None
+            and model.view_correction.values.size
+        )
         for _data in self.val:
             model.clear()
-            output = self.render_val.vis(
-                _data, model, background=np.ones(3, np.float32)
+            camera, _bg = self.render_val.prepare_camera(_data, 0, None)
+            model.prepare_from_camera(camera)
+            out = self.render_val.render_one(
+                model, camera, np.ones(3, np.float32)
             )
-            pred = output["render"][0]
-            pred = self.render_val.process_pred(_data, pred)
-            gt = self.render_val.process_gt(_data)[0]
-            if model.view_correction is not None and model.view_correction.values.size:
+            pred = out["render"]
+            gt = jnp.asarray(self.render_val.process_gt(_data)[0])
+            if use_corr:
+                # least-squares channel gain fit on the left image half
                 gt_left = gt[:, :, : gt.shape[2] // 2]
                 pred_left = pred[:, :, : pred.shape[2] // 2]
-                denom = (pred_left**2).sum(axis=(-2, -1))
-                gain = (gt_left * pred_left).sum(axis=(-2, -1)) / np.maximum(
-                    denom, 1e-8
-                )
-                pred = np.clip(pred * gain[:, None, None], 0.0, 1.0)
-            metric["l1"].append(float(np.mean(np.abs(pred - gt))))
-            metric["psnr"].append(psnr(pred, gt))
+                denom = jnp.maximum((pred_left**2).sum(axis=(-2, -1)), 1e-8)
+                gain = (gt_left * pred_left).sum(axis=(-2, -1)) / denom
+                pred = jnp.clip(pred * gain[:, None, None], 0.0, 1.0)
+            l1_dev = jnp.mean(jnp.abs(pred - gt))
+            mse_dev = jnp.mean((pred - gt) ** 2)
+            metric["l1"].append(float(l1_dev))
+            metric["psnr"].append(float(-10 * jnp.log10(jnp.maximum(mse_dev, 1e-12))))
             metric["imgname"].append(_data["imgname"][0])
-            if visualize:
+            if visualize and self.save_vis:
                 os.makedirs(logdir, exist_ok=True)
                 vis = self.render_val.tensor_to_bgr(
-                    np.concatenate([pred, gt], axis=1)
+                    np.concatenate([np.asarray(pred), np.asarray(gt)], axis=1)
                 )
                 imwrite(join(logdir, f'{len(metric["imgname"]):06d}.jpg'), vis)
         print(f">>> Validation: {iteration}: {len(metric['imgname'])} images")
@@ -406,6 +421,11 @@ class Trainer:
             f"{current_time:4.1f}s loss: {loss:.4f} model {self.model}"
         )
         self.start_time = time.time()
+        if not self.save_vis:
+            self.recorder.log(
+                self.global_iterations, "train/num_points", self.model.num_points
+            )
+            return
         try:
             render = np.asarray(output["render"])
             gt = np.asarray(output["gt"])
