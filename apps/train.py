@@ -138,6 +138,9 @@ def validate_for_metric(exp, dataset, model, renderer, device=None):
 def main():
     args, cfg = Config.load_args(usage="run")
     cfg = update_global_variable(cfg, cfg)
+    from log_tpu.utils.profiler import profile_if
+
+    cfg["_profiler"] = bool(getattr(args, "profiler", False))
     exp = cfg.exp
     print("Write to {}".format(exp))
     os.makedirs(exp, exist_ok=True)
@@ -169,7 +172,8 @@ def main():
             cfg.split = "train"
         if "ckptname" in cfg:
             model.load_state_dict(load_statedict(cfg.ckptname))
-        demo(cfg, model)
+        with profile_if(cfg["_profiler"], join(exp, "jax_trace")):
+            demo(cfg, model)
     elif cfg.split == "val":
         if "ckptname" in cfg:
             model.load_state_dict(load_statedict(cfg.ckptname))

@@ -288,7 +288,7 @@ def _fwd_kernel(
 
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, PAIR_CHUNK), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, PAIR_CHUNK), 1)
-    ltri = (row_idx >= col_idx).astype(jnp.float32)
+    ltri_strict = (row_idx > col_idx).astype(jnp.float32)
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, 1), 0)
 
     def chunk_body(state):
@@ -317,15 +317,16 @@ def _fwd_kernel(
         )
 
         one_minus = 1.0 - alpha
-        # inclusive cumprod along the chunk axis via the MXU (alpha <= 0.99)
-        cp_incl = jnp.exp(
+        # exclusive cumprod via STRICT-triangular MXU matmul (division-free;
+        # inclusive = exclusive * one_minus)
+        cp_excl = jnp.exp(
             jax.lax.dot_general(
-                ltri, jnp.log(one_minus),
+                ltri_strict, jnp.log(one_minus),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         )
-        cp_excl = cp_incl / one_minus
+        cp_incl = cp_excl * one_minus
         t_after = trans * cp_incl
         w = trans * cp_excl * alpha
         w = jnp.where(t_after >= T_EPS, w, 0.0)

@@ -421,10 +421,10 @@ class Trainer:
             f"{current_time:4.1f}s loss: {loss:.4f} model {self.model}"
         )
         self.start_time = time.time()
+        self.recorder.log(
+            self.global_iterations, "train/num_points", self.model.num_points
+        )
         if not self.save_vis:
-            self.recorder.log(
-                self.global_iterations, "train/num_points", self.model.num_points
-            )
             return
         try:
             render = np.asarray(output["render"])
