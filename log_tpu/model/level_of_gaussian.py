@@ -40,6 +40,7 @@ class LoG:
         optimizer: dict,
         densify_and_remove: dict,
         use_view_correction: bool = False,
+        check_render_scale: int = 1,
     ):
         self.optimizer_cfg = dict(optimizer)
         self.gaussian = GaussianPoint(**gaussian)
@@ -50,6 +51,7 @@ class LoG:
         self.fix_parent = True
         self.use_view_correction = use_view_correction
         self.view_correction = Corrector(use_view_correction) if use_view_correction else None
+        self.check_render_scale = check_render_scale
         self.current_depth = 0
         self.training = True
         self.stage_name = "init"
@@ -186,6 +188,7 @@ class LoG:
             num_levels,
             backend=pick_backend(self.capacity),
             max_pairs=pick_max_pairs(self.capacity),
+            check_scale=int(getattr(self, "check_render_scale", 1)),
         )
         c = np.asarray(counts)
         k_leaf = next_capacity(int(c[0]), 256)

@@ -309,6 +309,7 @@ def fused_train_step(
         "mode",
         "backend",
         "max_pairs",
+        "check_scale",
     ),
 )
 def prepare_visibility(
@@ -326,6 +327,7 @@ def prepare_visibility(
     mode: str = "antialias",
     backend: str = "reference",
     max_pairs: int = 1 << 18,
+    check_scale: int = 1,
 ):
     """Per-camera visibility + LoD cut. Returns (keep_leaf, keep_node, counts).
 
@@ -357,6 +359,10 @@ def prepare_visibility(
         params["rotation"], axis=-1, keepdims=True
     )
     opacity = jax.nn.sigmoid(params["opacity"][:, 0])
+    # the weight-cull render may run at reduced resolution (the 1e-8
+    # threshold is a coarse occlusion test; urban configs set check_scale=4)
+    chk_h = max(image_height // check_scale, 8)
+    chk_w = max(image_width // check_scale, 128)
     check_kwargs = dict(
         xyz=xyz,
         colors=jnp.ones_like(xyz),
@@ -366,13 +372,13 @@ def prepare_visibility(
         means2d_offset=jnp.zeros_like(xyz[:, :2]),
         world_view=cam["world_view"],
         full_proj=cam["full_proj"],
-        focal_x=cam["focal_x"],
-        focal_y=cam["focal_y"],
+        focal_x=cam["focal_x"] / check_scale,
+        focal_y=cam["focal_y"] / check_scale,
         tan_fovx=cam["tan_fovx"],
         tan_fovy=cam["tan_fovy"],
         background=jnp.zeros(3),
-        image_height=image_height,
-        image_width=image_width,
+        image_height=chk_h,
+        image_width=chk_w,
         active_mask=root_candidate,
         mode=mode,
         use_filter=True,

@@ -298,6 +298,41 @@ class Trainer:
         self.model.train()
 
     # --------------------------------------------------------- checkpoint
+    def log_device_memory(self):
+        """HBM usage scalars (the reference logs CUDA MB;
+        LoG/utils/trainer.py:234-236)."""
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                self.recorder.log(
+                    self.global_iterations, "train/memory",
+                    stats.get("bytes_in_use", 0) / 2**20,
+                )
+                self.recorder.log(
+                    self.global_iterations, "train/max_mem",
+                    stats.get("peak_bytes_in_use", 0) / 2**20,
+                )
+        except Exception:
+            pass
+
+    def log_point_cloud(self, output):
+        """Export the current visible cut as PLY
+        (LoG/utils/trainer.py:224-232)."""
+        from .file import write_ply
+
+        model = self.model
+        arrays = model.gaussian.to_numpy(["xyz", "colors"])
+        xyz = arrays["xyz"]
+        colors = np.clip(
+            arrays["colors"] * 0.28209479177387814 + 0.5, 0, 1
+        )
+        outname = os.path.join(
+            self.exp, "pointcloud", f"{self.global_iterations:06d}.ply"
+        )
+        write_ply(outname, xyz, colors)
+
     def save_ckpt(self, ckptname):
         state_dict = self.model.state_dict()
         payload = {
@@ -424,6 +459,12 @@ class Trainer:
         self.recorder.log(
             self.global_iterations, "train/num_points", self.model.num_points
         )
+        self.log_device_memory()
+        if self.cfg.get("log_pointcloud", False):
+            try:
+                self.log_point_cloud(output)
+            except Exception:
+                print("log point cloud failed")
         if not self.save_vis:
             return
         try:
