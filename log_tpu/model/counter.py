@@ -167,13 +167,17 @@ class Counter:
         self.data["create_steps"] = jnp.zeros_like(self.data["create_steps"])
 
     def set_numpy(self, arrays: dict, capacity: int) -> None:
+        """Load (reference checkpoints store int8/int16 counters —
+        LoG/model/counter.py:8-15 — canonicalize to our dtypes)."""
         from .gaussian import pad_rows
 
+        canon = {k: v.dtype for k, v in init_counter(1).items()}
         for key, val in arrays.items():
+            if key not in canon:
+                continue
             fill = 1.0 if key in ("radius3d_min", "radius3d_max") else 0
-            self.data[key] = jnp.asarray(
-                pad_rows(np.asarray(val), capacity, fill=fill)
-            )
+            arr = np.asarray(val).astype(canon[key])
+            self.data[key] = jnp.asarray(pad_rows(arr, capacity, fill=fill))
 
     def to_numpy(self, num_points: int) -> dict:
         return {k: np.asarray(v)[:num_points] for k, v in self.data.items()}

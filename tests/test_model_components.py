@@ -245,3 +245,52 @@ def test_config_parents_and_vars(tmp_path):
     assert cfg.path == "/data"
     cfg.merge_from_list(["a", "42", "nested.x", "99"])
     assert cfg.a == 42 and cfg.nested.x == 99
+
+
+def test_reference_style_checkpoint_dtypes(tmp_path):
+    """Reference .pth checkpoints carry int8/int16 tree+counter arrays
+    (LoG/model/tensor_tree.py:15-17, counter.py:8-15); loading must
+    canonicalize dtypes."""
+    torch = pytest.importorskip("torch")
+    n = 8
+    sd = {
+        "gaussian.xyz": torch.randn(n, 3),
+        "gaussian.colors": torch.randn(n, 3),
+        "gaussian.scaling": torch.randn(n, 3),
+        "gaussian.opacity": torch.randn(n, 1),
+        "gaussian.rotation": torch.randn(n, 4),
+        "tree.root_index": torch.arange(n, dtype=torch.int32),
+        "tree.node_index": torch.full((n,), -1, dtype=torch.int32),
+        "tree.index_parent": torch.full((n,), -1, dtype=torch.int32),
+        "tree.local_index": torch.zeros(n, dtype=torch.int8),
+        "tree.depth": torch.zeros(n, dtype=torch.int8),
+        "tree.tree": torch.zeros((0, 4), dtype=torch.int32),
+        "counter.radii_max": torch.zeros(n, dtype=torch.int16),
+        "counter.radius3d_min": torch.ones(n),
+        "counter.radius3d_max": torch.ones(n),
+        "counter.create_steps": torch.zeros(n, dtype=torch.int32),
+    }
+    path = tmp_path / "ref.pth"
+    torch.save({"state_dict": sd}, str(path))
+    from log_tpu.model.level_of_gaussian import LoG
+    from log_tpu.utils.command import load_statedict
+    from tests.test_train_smoke import MODEL_CFG
+
+    model = LoG(**MODEL_CFG)
+    model.base_iter = 10
+    model.load_state_dict(load_statedict(str(path)), split="demo")
+    assert model.num_points == n
+    assert model.tree.depth.dtype == np.int32
+    assert model.counter.data["radii_max"].dtype.name == "int32"
+
+
+def test_urban_config_loads():
+    from log_tpu.utils.config import Config
+
+    cfg = Config.load("config/urban/train.yml")
+    from log_tpu.utils.command import update_global_variable
+
+    cfg = update_global_variable(cfg, cfg)
+    assert cfg.model.args.check_render_scale == 4
+    assert "init" in cfg.train.stages and "tree" in cfg.train.stages
+    assert cfg.model.args.densify_and_remove.max_split_points == 100000
