@@ -59,6 +59,10 @@ ROW_PX, ROW_PY, ROW_CXX, ROW_CXY, ROW_CYY, ROW_OPAC = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH = 6, 7, 8, 9
 N_ROWS = 16
 N_VAL_ROWS = 10
+# exclusive-cumprod implementation in the forward kernel:
+#   'matmul'   — exp(strict-tri @ log(x)) on the MXU
+#   'doubling' — log-steps of sublane roll+multiply on the VPU
+CUMPROD_IMPL = "matmul"
 
 
 def _is_tpu() -> bool:
@@ -317,15 +321,28 @@ def _fwd_kernel(
         )
 
         one_minus = 1.0 - alpha
-        # exclusive cumprod via STRICT-triangular MXU matmul (division-free;
-        # inclusive = exclusive * one_minus)
-        cp_excl = jnp.exp(
-            jax.lax.dot_general(
-                ltri_strict, jnp.log(one_minus),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if CUMPROD_IMPL == "matmul":
+            # exclusive cumprod via STRICT-triangular MXU matmul
+            # (division-free; inclusive = exclusive * one_minus)
+            cp_excl = jnp.exp(
+                jax.lax.dot_general(
+                    ltri_strict, jnp.log(one_minus),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
+        else:
+            # doubling scan: log2(CHUNK) sublane-roll multiplies on the VPU
+            row1 = jax.lax.broadcasted_iota(
+                jnp.int32, (PAIR_CHUNK, 1), 0
+            )
+            cp_excl = jnp.where(row1 >= 1, pltpu.roll(one_minus, 1, axis=0), 1.0)
+            sft = 1
+            while sft < PAIR_CHUNK:
+                cp_excl = cp_excl * jnp.where(
+                    row1 >= sft, pltpu.roll(cp_excl, sft, axis=0), 1.0
+                )
+                sft *= 2
         cp_incl = cp_excl * one_minus
         t_after = trans * cp_incl
         w = trans * cp_excl * alpha
@@ -388,10 +405,10 @@ def _fwd_kernel(
 
     def chunk_cond(state):
         c, _, trans, _, _ = state
-        in_bounds = c < n_chunks
-        if with_stats:
-            return in_bounds  # stats mode must visit every chunk
-        return in_bounds & (jnp.max(trans) >= T_EPS)
+        # early exit is valid in stats mode too: once T < eps every later
+        # pair's blend weight is exactly 0, which is what the zero-initialized
+        # pair_w buffer already holds for unvisited chunks
+        return (c < n_chunks) & (jnp.max(trans) >= T_EPS)
 
     init = (
         jnp.int32(0),

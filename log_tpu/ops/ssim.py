@@ -27,22 +27,23 @@ def gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _blur(img: jax.Array, win: jax.Array) -> jax.Array:
-    """Separable valid-padding Gaussian blur. img: (C, H, W)."""
+    """Separable valid-padding Gaussian blur as K shifted adds per axis.
+
+    Depthwise grouped convs lower poorly on TPU (3-channel groups waste the
+    MXU); K static slices + fused multiply-adds are pure VPU work. img:
+    (C, H, W)."""
     k = win.shape[0]
-    c = img.shape[0]
-    # rows: convolve along H
-    kern_h = jnp.tile(win.reshape(1, 1, k, 1), (c, 1, 1, 1))
-    kern_w = jnp.tile(win.reshape(1, 1, 1, k), (c, 1, 1, 1))
-    x = img[None]  # (1, C, H, W)
-    x = jax.lax.conv_general_dilated(
-        x, kern_h, (1, 1), "VALID", feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kern_w, (1, 1), "VALID", feature_group_count=c,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )
-    return x[0]
+    H, W = img.shape[-2], img.shape[-1]
+    out = None
+    for i in range(k):
+        term = win[i] * img[:, i : H - k + 1 + i, :]
+        out = term if out is None else out + term
+    img = out
+    out = None
+    for i in range(k):
+        term = win[i] * img[:, :, i : W - k + 1 + i]
+        out = term if out is None else out + term
+    return out
 
 
 @partial(jax.jit, static_argnames=("window_size",))

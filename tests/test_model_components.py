@@ -294,3 +294,35 @@ def test_urban_config_loads():
     assert cfg.model.args.check_render_scale == 4
     assert "init" in cfg.train.stages and "tree" in cfg.train.stages
     assert cfg.model.args.densify_and_remove.max_split_points == 100000
+
+
+def test_ssim_matches_conv_oracle(rng):
+    """Shifted-add separable blur == dense depthwise conv2d formulation
+    (LoG/render/loss.py:6-44)."""
+    import jax.numpy as jnp
+    from scipy.signal import convolve2d
+
+    from log_tpu.ops.ssim import gaussian_window, ssim_loss
+
+    a = rng.random((3, 24, 30)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.08, a.shape), 0, 1).astype(np.float32)
+    got = float(ssim_loss(jnp.asarray(a), jnp.asarray(b)))
+
+    w1 = gaussian_window(11)
+    kern = np.outer(w1, w1)
+
+    def blur(img):
+        return np.stack(
+            [convolve2d(c, kern[::-1, ::-1], mode="valid") for c in img]
+        )
+
+    mu1, mu2 = blur(a), blur(b)
+    s1 = blur(a * a) - mu1**2
+    s2 = blur(b * b) - mu2**2
+    s12 = blur(a * b) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    smap = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1**2 + mu2**2 + c1) * (s1 + s2 + c2)
+    )
+    want = 1.0 - smap.mean()
+    np.testing.assert_allclose(got, want, atol=1e-5)
