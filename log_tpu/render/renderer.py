@@ -193,9 +193,14 @@ class NaiveRendererAndLoss(BaseRender):
             camera, bg = self.prepare_camera(batch, bn, background, is_train=False)
             model.prepare_from_camera(camera)
             out = self.render_one(model, camera, bg)
-            render = np.asarray(out["render"])
-            preds["render"].append(render)
-            preds["alpha"].append(np.asarray(out["alpha"]))
+            # quantize on device and transfer uint8 (remote runtimes move
+            # bytes slowly; frames end up in 8-bit files anyway)
+            ren8 = (jnp.clip(out["render"], 0, 1) * 255).astype(jnp.uint8)
+            alp8 = (jnp.clip(out["alpha"], 0, 1) * 255).astype(jnp.uint8)
+            preds["render"].append(
+                np.asarray(ren8).astype(np.float32) / 255.0
+            )
+            preds["alpha"].append(np.asarray(alp8).astype(np.float32) / 255.0)
             if self.render_depth:
                 cam = camera_device(camera)
                 params = model.gaussian.params()

@@ -122,3 +122,19 @@ def test_interp_cameras(scene_dir):
     for cam in new.values():
         R = cam["R"]
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_mask_foreground_processing(rng):
+    from log_tpu.render.renderer import MaskForeground
+
+    r = MaskForeground(split="val", background=(1.0, 1.0, 1.0))
+    H, W = 20, 26
+    img = rng.random((1, H, W, 3)).astype(np.float32)
+    mask = np.zeros((1, H, W), np.float32)
+    mask[0, 5:15, 8:20] = 1.0
+    batch = {"image": img, "mask": mask}
+    gt = r.process_gt(batch)
+    assert gt.shape == (1, 3, 10, 12)
+    pred = rng.random((3, H, W)).astype(np.float32)
+    cropped = r.process_pred(batch, pred)
+    assert cropped.shape == (3, 10, 12)
