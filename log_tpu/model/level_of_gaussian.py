@@ -61,6 +61,8 @@ class LoG:
         self.visibility_flag = None
         self._tree_dev = None
         self._leaf_opt_dev = None
+        self._bucket = None  # lagged (k_leaf, k_node) for the merged step
+        self._counts_dev = None
 
     # ------------------------------------------------------------ basics
     @property
@@ -94,6 +96,8 @@ class LoG:
     # ----------------------------------------------------- state schedule
     def set_stage(self, stage_name: str):
         self.stage_name = stage_name
+        self._bucket = None
+        self._counts_dev = None
 
     def set_state(
         self,
@@ -313,6 +317,145 @@ class LoG:
             self._corr_dev = corr_state
         return metrics, aux
 
+    def training_iteration(
+        self,
+        camera: dict,
+        gt_image,
+        background,
+        mask_ignore=None,
+        view_index: int = 0,
+        gt_depth=None,
+        render_depth: bool = False,
+    ):
+        """One training step with visibility fused into the same executable.
+
+        The slice bucket lags one step behind the actual visible counts
+        (temporal coherence across consecutive training cameras); the first
+        step of a stage seeds it with a standalone prepare."""
+        from ..render.renderer import camera_device
+        from ..ops import pick_backend, pick_max_pairs
+
+        if self._bucket is None:
+            self.prepare_from_camera(camera)
+            vf = self.visibility_flag
+            self._bucket = (vf["k_leaf"], vf["k_node"])
+            return self.train_step(
+                camera, gt_image, background, mask_ignore=mask_ignore,
+                view_index=view_index, gt_depth=gt_depth,
+                render_depth=render_depth,
+            )
+        # refresh the bucket from last step's counts (device array has had a
+        # full step to materialize — cheap fetch)
+        if self._counts_dev is not None:
+            c = np.asarray(self._counts_dev)
+            k_leaf = next_capacity(int(c[0]), 256)
+            k_node = 0 if int(c[1]) == 0 else next_capacity(int(c[1]), 256)
+            bl, bn = self._bucket
+            if k_leaf > bl or (k_leaf * 2 < bl):
+                bl = k_leaf
+            if k_node > bn or (k_node * 2 < bn):
+                bn = k_node
+            self._bucket = (bl, bn)
+        assert self.optimizer is not None, "call training_setup first"
+        cam = camera_device(camera)
+        stage_has_tree = self.tree.num_nodes > 0
+        if stage_has_tree and self._tree_dev is None:
+            self._refresh_device_caches()
+        if stage_has_tree:
+            tree_arrays = self._tree_dev
+            leaf_opt = self._leaf_opt_dev
+            num_levels = int(self.tree.depth.max()) + 1
+        else:
+            cap = self.capacity
+            tree_arrays = {
+                "node_index": jnp.zeros((cap,), jnp.int32),
+                "index_parent": jnp.zeros((cap,), jnp.int32),
+                "depth": jnp.zeros((cap,), jnp.int32),
+            }
+            leaf_opt = jnp.zeros((cap,), bool)
+            num_levels = 1
+        k_leaf, k_node = self._bucket
+        k_total = k_leaf + k_node
+        cfg = StepConfig(
+            image_height=cam["image_height"],
+            image_width=cam["image_width"],
+            k_leaf=k_leaf,
+            k_node=k_node,
+            sh_degree=self.gaussian.active_sh_degree,
+            mode="antialias",
+            use_correction=(
+                self.view_correction is not None
+                and self.view_correction.values.shape[0] > 0
+                and self.optimizer.global_steps >= self.base_iter
+            ),
+            has_mask=mask_ignore is not None,
+            opt_keys=tuple(self.gaussian.keys),
+            backend=pick_backend(k_total),
+            max_pairs=pick_max_pairs(k_total),
+            render_depth=render_depth and gt_depth is not None,
+        )
+        self.optimizer.global_steps += 1
+        step = self.optimizer.global_steps
+        host_lrs = _host_lrs(self.optimizer, step)
+        lrs = {k: jnp.asarray(v, jnp.float32) for k, v in host_lrs.items()}
+        self.lr = host_lrs.get("xyz", 0.0)
+        corr_state = self._corr_device_state() if cfg.use_correction else {
+            "values": jnp.ones((1, 3), jnp.float32),
+            "m1": jnp.zeros((1, 3), jnp.float32),
+            "m2": jnp.zeros((1, 3), jnp.float32),
+            "vmax": jnp.zeros((1, 3), jnp.float32),
+            "steps": jnp.zeros((1,), jnp.int32),
+        }
+        mask = (
+            jnp.asarray(mask_ignore)[None]
+            if mask_ignore is not None
+            else jnp.ones((1, 1, 1), jnp.float32)
+        )
+        depth_arr = (
+            jnp.asarray(gt_depth)
+            if cfg.render_depth
+            else jnp.ones((1, 1), jnp.float32)
+        )
+        from .train_step import fused_prepare_train_step
+
+        params, moments, counter, corr_state, metrics, aux = (
+            fused_prepare_train_step(
+                self.gaussian.params(),
+                self.optimizer.moments,
+                self.counter.data,
+                tree_arrays,
+                jnp.int32(self.num_points),
+                leaf_opt,
+                jnp.float32(self.tree.min_resolution_pixel),
+                jnp.int32(self.current_depth),
+                cam,
+                jnp.asarray(gt_image),
+                jnp.asarray(background),
+                lrs,
+                jnp.float32(step),
+                corr_state,
+                jnp.int32(view_index),
+                mask,
+                depth_arr,
+                jax.random.PRNGKey(int(step)),
+                stage_has_tree,
+                num_levels,
+                pick_backend(self.capacity),
+                pick_max_pairs(self.capacity),
+                int(self.check_render_scale),
+                cfg,
+            )
+        )
+        for k, v in params.items():
+            self.gaussian.set(k, v)
+        self.optimizer.moments = moments
+        self.counter.data = counter
+        if cfg.use_correction:
+            self._corr_dev = corr_state
+        self._counts_dev = metrics["counts"]
+        self.visibility_flag = {"keep_mask": aux["keep_mask"]}
+        return metrics, aux
+
     def _corr_device_state(self):
         """Per-view correction Adam state, device-resident across steps."""
         if getattr(self, "_corr_dev", None) is None:
@@ -403,6 +546,8 @@ class LoG:
 
     def _push_host(self, arrays, counter_np, moments_np):
         self.gaussian.set_numpy(arrays)
+        self._bucket = None
+        self._counts_dev = None
         cap = self.capacity
         self.counter.set_numpy(counter_np, cap)
         if moments_np is not None and self.optimizer is not None:

@@ -136,8 +136,7 @@ def _activate_and_rasterize_colors(slices, offset, colors, cam, background,
     return rasterize_ref.rasterize(**kwargs, chunk=cfg.chunk)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1, 2))
-def fused_train_step(
+def _train_step_core(
     params: dict,
     moments: dict,
     counter: dict,
@@ -297,6 +296,118 @@ def fused_train_step(
         "index": index,
     }
     return params, moments, counter, corr_state, metrics, step_aux
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1, 2))
+def fused_train_step(
+    params,
+    moments,
+    counter,
+    keep_leaf,
+    keep_node,
+    cam,
+    gt,
+    background,
+    lrs,
+    global_step,
+    corr_state,
+    view_index,
+    mask_ignore,
+    gt_depth,
+    rng_key,
+    cfg: StepConfig,
+):
+    return _train_step_core(
+        params, moments, counter, keep_leaf, keep_node, cam, gt, background,
+        lrs, global_step, corr_state, view_index, mask_ignore, gt_depth,
+        rng_key, cfg,
+    )
+
+
+def _prepare_core(
+    params,
+    tree_arrays,
+    cam,
+    n_alive,
+    is_leaf_opt,
+    min_resolution_pixel,
+    current_depth,
+    image_height,
+    image_width,
+    stage_has_tree,
+    num_levels,
+    mode,
+    backend,
+    max_pairs,
+    check_scale,
+):
+    return prepare_visibility.__wrapped__(
+        params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
+        current_depth, image_height, image_width, stage_has_tree, num_levels,
+        mode, backend, max_pairs, check_scale,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stage_has_tree",
+        "num_levels",
+        "prep_backend",
+        "prep_max_pairs",
+        "check_scale",
+        "cfg",
+    ),
+    donate_argnums=(0, 1, 2),
+)
+def fused_prepare_train_step(
+    params,
+    moments,
+    counter,
+    tree_arrays,
+    n_alive,
+    is_leaf_opt,
+    min_resolution_pixel,
+    current_depth,
+    cam,
+    gt,
+    background,
+    lrs,
+    global_step,
+    corr_state,
+    view_index,
+    mask_ignore,
+    gt_depth,
+    rng_key,
+    stage_has_tree: bool,
+    num_levels: int,
+    prep_backend: str,
+    prep_max_pairs: int,
+    check_scale: int,
+    cfg: StepConfig,
+):
+    """Visibility + LoD cut + the whole training step in ONE executable.
+
+    The (k_leaf, k_node) bucket in `cfg` comes from the PREVIOUS step's
+    counts (temporal coherence); this step's counts are returned so the host
+    can grow the bucket for the next step. A transient overflow truncates the
+    cut for one step — the same points render next step.
+    """
+    keep_leaf, keep_node, counts = _prepare_core(
+        params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
+        current_depth, cfg.image_height, cfg.image_width, stage_has_tree,
+        num_levels, cfg.mode, prep_backend, prep_max_pairs, check_scale,
+    )
+    params, moments, counter, corr_state, metrics, aux = _train_step_core(
+        params, moments, counter, keep_leaf, keep_node, cam, gt, background,
+        lrs, global_step, corr_state, view_index, mask_ignore, gt_depth,
+        rng_key, cfg,
+    )
+    metrics = dict(metrics)
+    metrics["counts"] = counts
+    aux = dict(aux)
+    aux["keep_mask"] = keep_leaf | keep_node
+    return params, moments, counter, corr_state, metrics, aux
 
 
 @partial(

@@ -133,11 +133,6 @@ class Trainer:
             origin_radius = model.tree.min_resolution_pixel
             if getattr(self.render, "use_rand_radius", False):
                 model.tree.min_resolution_pixel = self._rand_radius_jitter()
-            model.prepare_from_camera(camera)
-            model.tree.min_resolution_pixel = origin_radius
-            counts = model.visibility_flag["counts"]
-            if counts[0] == 0 and counts[1] == 0:
-                continue
             gt = np.asarray(data["image"][bn]).transpose(2, 0, 1)
             mask = None
             if "mask_ignore" in data:
@@ -146,11 +141,12 @@ class Trainer:
             gt_depth = None
             if "depth" in data and isinstance(data["depth"][bn], np.ndarray):
                 gt_depth = np.asarray(data["depth"][bn])
-            metrics, aux = model.train_step(
+            metrics, aux = model.training_iteration(
                 camera, gt, background, mask_ignore=mask, view_index=view_index,
                 gt_depth=gt_depth,
                 render_depth=getattr(self.render, "render_depth", False),
             )
+            model.tree.min_resolution_pixel = origin_radius
             # keep metrics as device scalars — a float() here is a host sync
             # on every step (expensive through remote runtimes); the fit loop
             # materializes them only at log cadence.

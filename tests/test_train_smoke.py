@@ -170,3 +170,22 @@ def test_view_correction_training(dataset):
     assert (np.abs(gains - 1.0) > 1e-4).any(), gains
     sd = model.state_dict()
     assert "view_correction.view_correction" in sd
+
+
+@pytest.mark.slow
+def test_merged_training_iteration(dataset):
+    """training_iteration (prepare fused into the step, lagged bucket) must
+    optimize like the two-phase path."""
+    model = build_model(dataset)
+    bg = dataset.background
+    rng = np.random.default_rng(0)
+    losses = []
+    for step in range(24):
+        item = dataset[int(rng.integers(len(dataset)))]
+        gt = item["image"].transpose(2, 0, 1)
+        metrics, aux = model.training_iteration(
+            item["camera"], gt, bg, view_index=item["index"]
+        )
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-6:]) < np.mean(losses[:6])
+    assert "keep_mask" in model.visibility_flag  # inference can reuse the cut
