@@ -90,6 +90,17 @@ def demo(cfg, model, device=None):
         )
         os.makedirs(os.path.dirname(outname), exist_ok=True)
         cv2.imwrite(outname, vis)
+        # rgba export (reference apps/train.py:75-81 writes rgba pngs when the
+        # renderer emits a mask; ours always has compositing alpha, so gate on
+        # a config flag instead of silently doubling demo IO)
+        if "mask" in output and cfg.get("write_rgba", False):
+            mask8 = (np.clip(output["mask"][0], 0, 1) * 255).astype(np.uint8)
+            rgba = np.dstack([vis, mask8[:, :, None]])
+            rgbaname = os.path.join(
+                cfg.exp, cfg.split, "rgba", f"{batch_idx:06d}.png"
+            )
+            os.makedirs(os.path.dirname(rgbaname), exist_ok=True)
+            cv2.imwrite(rgbaname, rgba)
     n = max(len(dataset), 1)
     print(
         "Average time: {:.2f} ms, fps: {:.1f}".format(

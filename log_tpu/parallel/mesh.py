@@ -55,3 +55,27 @@ def shard_pytree_point_axis(tree, mesh: Mesh):
     """Place every array in the pytree with axis-0 sharded over 'point'."""
     sh = point_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host initialization (DCN): call once per host before any jax
+    op; afterwards `make_mesh` sees the global device set and GSPMD routes
+    the 'data' axis over DCN while 'point' shards ride ICI within each
+    slice. No-op when single-host env vars are absent."""
+    import jax
+
+    if coordinator is None:
+        import os
+
+        coordinator = os.environ.get("LOG_TPU_COORDINATOR")
+        if coordinator is None:
+            return
+        num_processes = int(os.environ.get("LOG_TPU_NUM_PROCESSES", "1"))
+        process_id = int(os.environ.get("LOG_TPU_PROCESS_ID", "0"))
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

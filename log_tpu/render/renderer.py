@@ -173,12 +173,20 @@ class NaiveRendererAndLoss(BaseRender):
         )
         from ..ops import pick_backend, pick_max_pairs
 
+        # size the pair budget from the actual visible-cut count when the
+        # prepare pass produced one (far tighter than capacity for LoD cuts)
+        vf = model.visibility_flag or {}
+        counts = vf.get("counts")
+        if counts is not None:
+            k_budget = max(int(counts[0]) + int(counts[1]), 1)
+        else:
+            k_budget = params["xyz"].shape[0]
         if pick_backend(params["xyz"].shape[0]) == "tiled":
             from ..ops.rasterize_tiled import rasterize_tiled
 
             out = rasterize_tiled(
                 **kwargs,
-                max_pairs=pick_max_pairs(params["xyz"].shape[0]),
+                max_pairs=pick_max_pairs(k_budget),
                 with_stats=False,
             )
         else:
@@ -200,7 +208,10 @@ class NaiveRendererAndLoss(BaseRender):
             preds["render"].append(
                 np.asarray(ren8).astype(np.float32) / 255.0
             )
-            preds["alpha"].append(np.asarray(alp8).astype(np.float32) / 255.0)
+            alpha = np.asarray(alp8).astype(np.float32) / 255.0
+            preds["alpha"].append(alpha)
+            preds["mask"].append(alpha)  # rgba demo contract
+            
             if self.render_depth:
                 cam = camera_device(camera)
                 params = model.gaussian.params()
