@@ -820,16 +820,20 @@ def rasterize_tiled(
     # pid_pair holds the argmax PAIR index; map pair -> caller gaussian id.
     # pair ids are garbage on the sorted tail but those have weight 0 / -1.
     pid_pair = pid_pair[:H, :W]
-    slot = pairs["pair_gid"][jnp.clip(pid_pair, 0, A - 1)]
-    pid = jnp.where((pid_pair >= 0) & (slot < P), slot, -1)
-    # per-gaussian max blend weight: segment-max of pair weights by gid
-    pw_sorted = (
-        jnp.zeros((P + 1,), jnp.float32)
-        .at[jnp.clip(pairs["pair_gid"], 0, P)]
-        .max(pair_w[0, :A], mode="drop")[:P]
-    )
-    point_weight = pw_sorted
-    if not with_stats:
+    if with_stats:
+        slot = pairs["pair_gid"][jnp.clip(pid_pair, 0, A - 1)]
+        pid = jnp.where((pid_pair >= 0) & (slot < P), slot, -1)
+        # per-gaussian max blend weight: segment-max of pair weights by gid
+        point_weight = (
+            jnp.zeros((P + 1,), jnp.float32)
+            .at[jnp.clip(pairs["pair_gid"], 0, P)]
+            .max(pair_w[0, :A], mode="drop")[:P]
+        )
+    else:
+        # pure-render path: the pair->gaussian mapping is an H*W gather
+        # (XLA TPU serializes gathers, ~9 ms/M pixels) for outputs no
+        # renderer consumes — skip it.
+        pid = jnp.full((H, W), -1, jnp.int32)
         point_weight = jnp.zeros((P,), jnp.float32)
     radii = jnp.where(pairs["valid"], pairs["radius"], 0.0)
     return {
