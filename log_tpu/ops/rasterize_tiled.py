@@ -57,6 +57,10 @@ PAIR_CHUNK = 128
 # pair record rows in the packed (N_ROWS, A) array; 16 rows = 2 sublane tiles
 ROW_PX, ROW_PY, ROW_CXX, ROW_CXY, ROW_CYY, ROW_OPAC = 0, 1, 2, 3, 4, 5
 ROW_R, ROW_G, ROW_B, ROW_DEPTH = 6, 7, 8, 9
+# row 10 carries the caller gaussian id (exact in f32: ids < 2^24) so the
+# forward kernel can emit the argmax CONTRIBUTOR id per pixel directly —
+# avoiding a serialized H*W pair->gid gather in the stats epilogue
+ROW_GID = 10
 N_ROWS = 16
 N_VAL_ROWS = 10
 # exclusive-cumprod implementation in the forward kernel:
@@ -250,9 +254,12 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
     tile_start = starts[:-1]
     tile_end = starts[1:]
 
-    # pack (16, A + spare chunk): rows 0..9 values, rest zero
-    pad = jnp.zeros((N_ROWS - N_VAL_ROWS, A), jnp.float32)
-    pair_data = jnp.concatenate([values_s, pad], axis=0)
+    # pack (16, A + spare chunk): rows 0..9 values, row 10 the gaussian id
+    # (already sorted as a key payload — rides the chunk DMA for free), rest
+    # zero
+    gid_row = jax.lax.stop_gradient(gid_s.astype(jnp.float32))[None, :]
+    pad = jnp.zeros((N_ROWS - N_VAL_ROWS - 1, A), jnp.float32)
+    pair_data = jnp.concatenate([values_s, gid_row, pad], axis=0)
     pair_data = jnp.pad(pair_data, ((0, 0), (0, PAIR_CHUNK)))
 
     return {
@@ -386,11 +393,11 @@ def _fwd_kernel(
 
         cw = jnp.max(w, axis=0, keepdims=True)
         if with_stats:
-            pos = jnp.max(
-                jnp.where((w == cw) & (cw > 0.0), g_iota, -1), axis=0,
+            gid_col = d[ROW_GID, :].astype(jnp.int32)[:, None]
+            cid = jnp.max(
+                jnp.where((w == cw) & (cw > 0.0), gid_col, -1), axis=0,
                 keepdims=True,
             )
-            cid = jnp.where(pos >= 0, off0 + c * PAIR_CHUNK + pos, -1)
             take = cw > best_w
             best_w = jnp.where(take, cw, best_w)
             best_id = jnp.where(take, cid, best_id)
@@ -843,12 +850,11 @@ def rasterize_tiled(
     tfinal = tfinal[:H, :W]
     pwp = pwp[:H, :W]
     P = xyz.shape[0]
-    # pid_pair holds the argmax PAIR index; map pair -> caller gaussian id.
-    # pair ids are garbage on the sorted tail but those have weight 0 / -1.
+    # pid_pair holds the argmax contributor's caller gaussian id directly
+    # (the kernel reads it from pair_data ROW_GID — no pair->gid gather).
     pid_pair = pid_pair[:H, :W]
     if with_stats:
-        slot = pairs["pair_gid"][jnp.clip(pid_pair, 0, A - 1)]
-        pid = jnp.where((pid_pair >= 0) & (slot < P), slot, -1)
+        pid = jnp.where((pid_pair >= 0) & (pid_pair < P), pid_pair, -1)
         # per-gaussian max blend weight: segment-max of pair weights by gid
         point_weight = (
             jnp.zeros((P + 1,), jnp.float32)
