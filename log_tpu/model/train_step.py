@@ -179,17 +179,26 @@ def _train_step_core(
             slices_, offset_, cam, background, lane_valid, cfg
         )
         render = out["render"]
+        # GT may arrive as uint8 (host->device transfer is 4x cheaper and
+        # lossless for 8-bit image sources); normalize on device
+        gt_f = (
+            gt.astype(jnp.float32) * (1.0 / 255.0)
+            if gt.dtype == jnp.uint8
+            else gt
+        )
         if cfg.use_correction:
             render_l1 = render * corr_[:, None, None]
         else:
             render_l1 = render
         if cfg.has_mask:
             m = mask_ignore  # (1, H, W); 1 = ignore
-            gt_eff = gt * m + (1 - m) * background[:, None, None]
+            if m.dtype != jnp.float32:
+                m = m.astype(jnp.float32)
+            gt_eff = gt_f * m + (1 - m) * background[:, None, None]
             render_ssim = gt_eff * m + render * (1 - m)
             render_l1 = gt_eff * m + render_l1 * (1 - m)
         else:
-            gt_eff = gt
+            gt_eff = gt_f
             render_ssim = render
         l1 = jnp.mean(jnp.abs(render_l1 - gt_eff))
         ssim = ssim_loss(render_ssim, gt_eff)

@@ -134,6 +134,11 @@ class Trainer:
             if getattr(self.render, "use_rand_radius", False):
                 model.tree.min_resolution_pixel = self._rand_radius_jitter()
             gt = np.asarray(data["image"][bn]).transpose(2, 0, 1)
+            if gt.dtype != np.uint8:
+                # ship uint8 to the device (4x less transfer; sources are
+                # 8-bit images so the roundtrip is exact) — the fused step
+                # normalizes back to f32 on device
+                gt = (np.clip(gt, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
             mask = None
             if "mask_ignore" in data:
                 mask = np.asarray(data["mask_ignore"][bn])
@@ -154,7 +159,9 @@ class Trainer:
                 "metrics": metrics,
                 "render": aux["render"],
                 "loss_dev": metrics["loss"],
-                "gt": gt,
+                "gt": gt.astype(np.float32) / 255.0
+                if gt.dtype == np.uint8
+                else gt,
             }
             any_ok = True
         if not any_ok:
