@@ -453,6 +453,12 @@ class LoG:
         if cfg.use_correction:
             self._corr_dev = corr_state
         self._counts_dev = metrics["counts"]
+        # start the device->host copy now so next step's bucket refresh reads
+        # a local buffer instead of paying a blocking fetch round-trip
+        try:
+            self._counts_dev.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         self.visibility_flag = {"keep_mask": aux["keep_mask"]}
         return metrics, aux
 
