@@ -90,6 +90,12 @@ def _use_packed_keys() -> bool:
     # TPU; depth keeps 32 - tile_bits of its (positive-float monotone) bit
     # pattern, ~12-bit relative precision at 1080p — below visual relevance.
     # CPU keeps the exact 3-key order so oracle comparisons stay bitwise.
+    # LOG_TPU_PACK_SORT_KEYS={0,1} overrides (tests force the packed path).
+    import os
+
+    env = os.environ.get("LOG_TPU_PACK_SORT_KEYS")
+    if env is not None:
+        return env not in ("0", "false", "")
     return _is_tpu()
 
 

@@ -149,3 +149,51 @@ def test_tiled_gradients_match_reference():
         np.testing.assert_allclose(
             gt, gr, atol=2e-2 * scale, err_msg=f"grad mismatch for {name}"
         )
+
+
+def test_packed_sort_keys_match_oracle(monkeypatch):
+    """The TPU-only packed uint32 (tile|depth-bits) sort key must produce the
+    same image as the exact 3-key sort within depth-quantization tolerance."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from log_tpu.ops import rasterize_tiled as rt
+
+    rng = np.random.default_rng(7)
+    N, H, W = 400, 40, 160
+    xyz = jnp.asarray(
+        rng.normal(0, 0.8, (N, 3)).astype(np.float32)
+        + np.array([0, 0, 4], np.float32)
+    )
+    colors = jnp.asarray(rng.random((N, 3), dtype=np.float32))
+    opacity = jnp.asarray((rng.random(N) * 0.8 + 0.1).astype(np.float32))
+    scaling = jnp.asarray((rng.random((N, 3)) * 0.1 + 0.02).astype(np.float32))
+    q = rng.normal(size=(N, 4)).astype(np.float32)
+    rotation = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    wv = jnp.eye(4, dtype=jnp.float32)
+    fx = fy = 100.0
+    proj = np.array(
+        [[2 * fx / W, 0, 0, 0], [0, 2 * fy / H, 0, 0],
+         [0, 0, 1.001, -0.2], [0, 0, 1, 0]], np.float32,
+    )
+    fp = jnp.asarray(proj) @ wv
+    args = dict(
+        xyz=xyz, colors=colors, opacity=opacity, scaling=scaling,
+        rotation=rotation, means2d_offset=jnp.zeros((N, 2), jnp.float32),
+        world_view=wv, full_proj=fp, focal_x=fx, focal_y=fy,
+        tan_fovx=W / (2 * fx), tan_fovy=H / (2 * fy),
+        background=jnp.zeros(3, jnp.float32),
+        image_height=H, image_width=W, max_pairs=1 << 14,
+        with_stats=True, interpret=True,
+    )
+    monkeypatch.setenv("LOG_TPU_PACK_SORT_KEYS", "0")
+    exact = rt.rasterize_tiled(**args)
+    monkeypatch.setenv("LOG_TPU_PACK_SORT_KEYS", "1")
+    packed = rt.rasterize_tiled(**args)
+    np.testing.assert_allclose(
+        np.asarray(packed["render"]), np.asarray(exact["render"]),
+        atol=2e-3,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed["radii"]), np.asarray(exact["radii"])
+    )
