@@ -236,7 +236,8 @@ class LoG:
 
     # ------------------------------------------------------- fused step
     def train_step(self, camera: dict, gt_image, background, mask_ignore=None,
-                   view_index: int = 0, gt_depth=None, render_depth=False):
+                   view_index: int = 0, gt_depth=None, render_depth=False,
+                   fg_mask=None):
         """One fused optimization step. Requires prepare_from_camera first."""
         from ..render.renderer import camera_device
 
@@ -267,7 +268,13 @@ class LoG:
             backend=pick_backend(k_total),
             max_pairs=pick_max_pairs(k_total),
             render_depth=render_depth and gt_depth is not None,
+            crop_loss=fg_mask is not None,
         )
+        fg_dev = bbox_dev = None
+        if fg_mask is not None:
+            fg_dev, bbox_dev = _fg_mask_bbox(
+                fg_mask, cam["image_height"], cam["image_width"]
+            )
         self.optimizer.global_steps += 1
         step = self.optimizer.global_steps
         host_lrs = _host_lrs(self.optimizer, step)
@@ -308,6 +315,8 @@ class LoG:
             depth_arr,
             jax.random.PRNGKey(int(step)),
             cfg,
+            fg_mask=fg_dev,
+            bbox=bbox_dev,
         )
         for k, v in params.items():
             self.gaussian.set(k, v)
@@ -326,6 +335,7 @@ class LoG:
         view_index: int = 0,
         gt_depth=None,
         render_depth: bool = False,
+        fg_mask=None,
     ):
         """One training step with visibility fused into the same executable.
 
@@ -342,7 +352,7 @@ class LoG:
             return self.train_step(
                 camera, gt_image, background, mask_ignore=mask_ignore,
                 view_index=view_index, gt_depth=gt_depth,
-                render_depth=render_depth,
+                render_depth=render_depth, fg_mask=fg_mask,
             )
         # refresh the bucket from last step's counts (device array has had a
         # full step to materialize — cheap fetch)
@@ -393,7 +403,13 @@ class LoG:
             backend=pick_backend(k_total),
             max_pairs=pick_max_pairs(k_total),
             render_depth=render_depth and gt_depth is not None,
+            crop_loss=fg_mask is not None,
         )
+        fg_dev = bbox_dev = None
+        if fg_mask is not None:
+            fg_dev, bbox_dev = _fg_mask_bbox(
+                fg_mask, cam["image_height"], cam["image_width"]
+            )
         self.optimizer.global_steps += 1
         step = self.optimizer.global_steps
         host_lrs = _host_lrs(self.optimizer, step)
@@ -444,6 +460,8 @@ class LoG:
                 pick_max_pairs(self.capacity),
                 int(self.check_render_scale),
                 cfg,
+                fg_mask=fg_dev,
+                bbox=bbox_dev,
             )
         )
         for k, v in params.items():
@@ -848,6 +866,27 @@ class LoG:
         self._refresh_device_caches()
         return True
 
+
+
+def _fg_mask_bbox(fg_mask, H, W):
+    """Host-side foreground bbox with the reference's training padding
+    (LoG/render/renderer.py:355-357: padding = max(H, W) / 50). Returns
+    (uint8 device mask (1, H, W), int32 bbox [top, bottom, left, right])."""
+    m = np.asarray(fg_mask).reshape(-1, W)[-H:] > 0.5
+    rows = np.where(m.any(axis=1))[0]
+    cols = np.where(m.any(axis=0))[0]
+    if rows.size == 0:
+        bbox = np.array([0, H - 1, 0, W - 1], np.int32)
+    else:
+        pad = int(max(H, W) / 50)
+        bbox = np.array(
+            [max(int(rows[0]) - pad, 0), int(rows[-1]) + pad,
+             max(int(cols[0]) - pad, 0), int(cols[-1]) + pad], np.int32,
+        )
+    return (
+        jnp.asarray(m.astype(np.uint8))[None],
+        jnp.asarray(bbox),
+    )
 
 def _host_lrs(optimizer: SparseOptimizer, step) -> dict:
     """Per-key LR values for this step (host floats -> traced scalars)."""

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops import rasterize_ref
 from ..ops.sh import eval_sh, sh_to_rgb
-from ..ops.ssim import ssim_loss
+from ..ops.ssim import ssim_loss, ssim_map
 from .counter import update_counter
 from .sparse_optimizer import sparse_adam_step
 
@@ -39,6 +39,13 @@ class StepConfig:
     max_pairs: int = 1 << 18  # tiled backend pair capacity
     chunk: int = 32
     render_depth: bool = False  # add SSI monocular-depth loss
+    # foreground-mask training (MaskForeground; LoG/render/renderer.py:328-
+    # 368): GT composites over the step background inside the mask, and the
+    # loss is restricted to the mask's bounding box. The reference CROPS
+    # both images to the (padded) bbox; here shapes stay static — the L1
+    # mean and the SSIM map are masked to the bbox instead, which matches
+    # the crop exactly (valid-padding SSIM windows fully inside the bbox).
+    crop_loss: bool = False
 
 
 UNIT_QUAT = (1.0, 0.0, 0.0, 0.0)
@@ -153,6 +160,8 @@ def _train_step_core(
     gt_depth: jax.Array,  # (H, W) monocular depth (ones if unused)
     rng_key: jax.Array,  # PRNG key for depth patches
     cfg: StepConfig,
+    fg_mask: jax.Array | None = None,  # (1, H, W) foreground mask (crop_loss)
+    bbox: jax.Array | None = None,  # (4,) int32 [top, bottom, left, right]
 ):
     """Returns (params, moments, counter, corr_state, metrics, aux)."""
     cap = params["xyz"].shape[0]
@@ -190,6 +199,11 @@ def _train_step_core(
             render_l1 = render * corr_[:, None, None]
         else:
             render_l1 = render
+        if cfg.crop_loss:
+            # MaskForeground: composite GT over the (possibly random) step
+            # background inside the foreground mask
+            fm = fg_mask.astype(jnp.float32)
+            gt_f = gt_f * fm + (1 - fm) * background[:, None, None]
         if cfg.has_mask:
             m = mask_ignore  # (1, H, W); 1 = ignore
             if m.dtype != jnp.float32:
@@ -200,8 +214,34 @@ def _train_step_core(
         else:
             gt_eff = gt_f
             render_ssim = render
-        l1 = jnp.mean(jnp.abs(render_l1 - gt_eff))
-        ssim = ssim_loss(render_ssim, gt_eff)
+        if cfg.crop_loss:
+            # bbox-restricted loss with static shapes: weight the L1 mean by
+            # the bbox indicator, and average only SSIM windows that lie
+            # FULLY inside the bbox — identical to the reference's crop
+            # (valid-padding windows of the crop are exactly those windows)
+            t_, b_, l_, r_ = bbox[0], bbox[1], bbox[2], bbox[3]
+            Hh = render.shape[1]
+            Ww = render.shape[2]
+            ri = jnp.arange(Hh)[None, :, None]
+            ci = jnp.arange(Ww)[None, None, :]
+            inb = (
+                (ri >= t_) & (ri <= b_) & (ci >= l_) & (ci <= r_)
+            ).astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(inb), 1.0)
+            l1 = jnp.sum(jnp.abs(render_l1 - gt_eff) * inb) / (3.0 * cnt)
+            win = 11
+            smap = ssim_map(render_ssim, gt_eff, win)
+            rim = jnp.arange(Hh - win + 1)[None, :, None]
+            cim = jnp.arange(Ww - win + 1)[None, None, :]
+            inw = (
+                (rim >= t_) & (rim + win - 1 <= b_)
+                & (cim >= l_) & (cim + win - 1 <= r_)
+            ).astype(jnp.float32)
+            cntw = jnp.maximum(jnp.sum(inw), 1.0)
+            ssim = 1.0 - jnp.sum(smap * inw) / (3.0 * cntw)
+        else:
+            l1 = jnp.mean(jnp.abs(render_l1 - gt_eff))
+            ssim = ssim_loss(render_ssim, gt_eff)
         loss = 0.8 * l1 + 0.2 * ssim
         if cfg.render_depth:
             # second rasterization with (camera depth, world z, 1) as colors
@@ -325,11 +365,13 @@ def fused_train_step(
     gt_depth,
     rng_key,
     cfg: StepConfig,
+    fg_mask=None,
+    bbox=None,
 ):
     return _train_step_core(
         params, moments, counter, keep_leaf, keep_node, cam, gt, background,
         lrs, global_step, corr_state, view_index, mask_ignore, gt_depth,
-        rng_key, cfg,
+        rng_key, cfg, fg_mask=fg_mask, bbox=bbox,
     )
 
 
@@ -394,6 +436,8 @@ def fused_prepare_train_step(
     prep_max_pairs: int,
     check_scale: int,
     cfg: StepConfig,
+    fg_mask=None,
+    bbox=None,
 ):
     """Visibility + LoD cut + the whole training step in ONE executable.
 
@@ -410,7 +454,7 @@ def fused_prepare_train_step(
     params, moments, counter, corr_state, metrics, aux = _train_step_core(
         params, moments, counter, keep_leaf, keep_node, cam, gt, background,
         lrs, global_step, corr_state, view_index, mask_ignore, gt_depth,
-        rng_key, cfg,
+        rng_key, cfg, fg_mask=fg_mask, bbox=bbox,
     )
     metrics = dict(metrics)
     metrics["counts"] = counts

@@ -46,11 +46,10 @@ def _blur(img: jax.Array, win: jax.Array) -> jax.Array:
     return out
 
 
-@partial(jax.jit, static_argnames=("window_size",))
-def ssim_loss(
+def ssim_map(
     img1: jax.Array, img2: jax.Array, window_size: int = 11
 ) -> jax.Array:
-    """1 - mean SSIM. img1/img2: (C, H, W) in [0, 1]."""
+    """Per-window SSIM map (C, H-w+1, W-w+1). img1/img2: (C, H, W)."""
     win = jnp.asarray(gaussian_window(window_size))
     mu1 = _blur(img1, win)
     mu2 = _blur(img2, win)
@@ -62,7 +61,14 @@ def ssim_loss(
     sigma12 = _blur(img1 * img2, win) - mu1_mu2
     c1 = 0.01**2
     c2 = 0.03**2
-    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
     )
-    return 1.0 - jnp.mean(ssim_map)
+
+
+@partial(jax.jit, static_argnames=("window_size",))
+def ssim_loss(
+    img1: jax.Array, img2: jax.Array, window_size: int = 11
+) -> jax.Array:
+    """1 - mean SSIM. img1/img2: (C, H, W) in [0, 1]."""
+    return 1.0 - jnp.mean(ssim_map(img1, img2, window_size))

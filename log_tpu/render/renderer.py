@@ -243,7 +243,11 @@ class NaiveRendererAndLoss(BaseRender):
 
 class MaskForeground(NaiveRendererAndLoss):
     """Object-centric variant: crop to mask bbox, composite background into GT
-    (LoG/render/renderer.py:318-373)."""
+    (LoG/render/renderer.py:318-373). Training restricts the loss to the
+    padded mask bbox inside the fused step (crop_loss) — the trainer passes
+    the batch mask through when `foreground_crop` is set."""
+
+    foreground_crop = True
 
     @staticmethod
     def bound_from_mask(msk, padding):

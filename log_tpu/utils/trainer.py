@@ -146,10 +146,14 @@ class Trainer:
             gt_depth = None
             if "depth" in data and isinstance(data["depth"][bn], np.ndarray):
                 gt_depth = np.asarray(data["depth"][bn])
+            fg_mask = None
+            if getattr(self.render, "foreground_crop", False) and "mask" in data:
+                fg_mask = np.asarray(data["mask"][bn])
             metrics, aux = model.training_iteration(
                 camera, gt, background, mask_ignore=mask, view_index=view_index,
                 gt_depth=gt_depth,
                 render_depth=getattr(self.render, "render_depth", False),
+                fg_mask=fg_mask,
             )
             model.tree.min_resolution_pixel = origin_radius
             # keep metrics as device scalars — a float() here is a host sync

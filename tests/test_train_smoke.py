@@ -189,3 +189,44 @@ def test_merged_training_iteration(dataset):
         losses.append(float(metrics["loss"]))
     assert np.mean(losses[-6:]) < np.mean(losses[:6])
     assert "keep_mask" in model.visibility_flag  # inference can reuse the cut
+
+
+def test_foreground_crop_loss_matches_cropped_oracle(dataset):
+    """crop_loss (MaskForeground training) must equal computing L1 + SSIM on
+    the literal (padded) bbox crop, as the reference does by slicing
+    (LoG/render/renderer.py:344-368)."""
+    import jax.numpy as jnp
+
+    from log_tpu.model.level_of_gaussian import _fg_mask_bbox
+    from log_tpu.ops.ssim import ssim_map
+
+    model = build_model(dataset)
+    item = dataset[0]
+    camera = item["camera"]
+    gt = item["image"].transpose(2, 0, 1)
+    H, W = gt.shape[1], gt.shape[2]
+    mask = np.zeros((H, W), np.float32)
+    mask[10:34, 16:52] = 1.0
+    bg = np.array([0.3, 0.5, 0.7], np.float32)
+
+    model.prepare_from_camera(camera)
+    metrics, aux = model.train_step(
+        camera, gt, bg, view_index=0, fg_mask=mask
+    )
+    l1_step = float(metrics["l1"])
+    ssim_step = float(metrics["ssim"])
+
+    # oracle: literal crop
+    _, bbox = _fg_mask_bbox(mask, H, W)
+    t, b, l, r = [int(v) for v in np.asarray(bbox)]
+    b, r = min(b, H - 1), min(r, W - 1)
+    render = np.asarray(aux["render"])
+    gt_eff = gt * mask[None] + (1 - mask[None]) * bg[:, None, None]
+    rc = render[:, t : b + 1, l : r + 1]
+    gc = gt_eff[:, t : b + 1, l : r + 1]
+    l1_ref = float(np.mean(np.abs(rc - gc)))
+    ssim_ref = float(
+        1.0 - np.mean(np.asarray(ssim_map(jnp.asarray(rc), jnp.asarray(gc))))
+    )
+    assert abs(l1_step - l1_ref) < 2e-5, (l1_step, l1_ref)
+    assert abs(ssim_step - ssim_ref) < 2e-4, (ssim_step, ssim_ref)
