@@ -113,6 +113,7 @@ class ImageDataset(ImageBase):
         images="images",
         scale_camera_K=1.0,
         mask_ignore=None,
+        foreground_mask=None,  # dir of binary masks -> item["mask"]
         pre_undis=True,
         share_camera=False,
         crop_size=(-1, -1),
@@ -125,6 +126,7 @@ class ImageDataset(ImageBase):
         self.image_dir = images
         self.ext = ext
         self.mask_ignore = mask_ignore
+        self.foreground_mask = foreground_mask
         self.scales = list(scales)
         self.downsample_scale = 1
         self.scale3d = scale3d
@@ -279,6 +281,23 @@ class ImageDataset(ImageBase):
         }
         if msk is not None:
             ret["mask_ignore"] = msk
+        if self.foreground_mask is not None and self.read_img:
+            # foreground mask for MaskForeground training/eval (the
+            # reference's batch["mask"]; its public datasets leave the
+            # producer to forks — here masks/<imgname>.png, resized to the
+            # current scale)
+            rel = os.path.relpath(
+                data["imgname"].replace(self.ext, ".png"), self.image_dir
+            )
+            fname = join(self.root, self.foreground_mask, rel)
+            if os.path.exists(fname):
+                fmsk = self.read_mask(fname)
+                if not isinstance(img, str) and fmsk.shape[:2] != img.shape[:2]:
+                    fmsk = cv2.resize(
+                        fmsk, (img.shape[1], img.shape[0]),
+                        interpolation=cv2.INTER_NEAREST,
+                    )
+                ret["mask"] = fmsk
         ret.update(data.get("extra", {}))
         return ret
 

@@ -237,6 +237,10 @@ class Trainer:
                 model, camera, np.ones(3, np.float32)
             )
             pred = out["render"]
+            # MaskForeground crops both to the mask bbox; base is identity
+            pred = jnp.asarray(
+                self.render_val.process_pred(_data, np.asarray(pred))
+            )
             gt = jnp.asarray(self.render_val.process_gt(_data)[0])
             if use_corr:
                 # least-squares channel gain fit on the left image half
