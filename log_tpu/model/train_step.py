@@ -551,7 +551,9 @@ def prepare_visibility(
         from ..ops.rasterize_tiled import rasterize_tiled
 
         check = rasterize_tiled(
-            **check_kwargs, max_pairs=max_pairs, with_stats=True
+            # "weights": the cull only needs point_weight — skip the
+            # per-pixel argmax bookkeeping of full stats mode
+            **check_kwargs, max_pairs=max_pairs, with_stats="weights"
         )
     else:
         check = rasterize_ref.rasterize(**check_kwargs, chunk=64)

@@ -398,7 +398,7 @@ def _fwd_kernel(
         trans = trans * cp_incl[-1:, :]
 
         cw = jnp.max(w, axis=0, keepdims=True)
-        if with_stats:
+        if with_stats is True:  # "weights" level skips argmax tracking
             gid_col = d[ROW_GID, :].astype(jnp.int32)[:, None]
             cid = jnp.max(
                 jnp.where((w == cw) & (cw > 0.0), gid_col, -1), axis=0,
@@ -407,6 +407,7 @@ def _fwd_kernel(
             take = cw > best_w
             best_w = jnp.where(take, cw, best_w)
             best_id = jnp.where(take, cid, best_id)
+        if with_stats:
             # per-pair max weight -> HBM; boundary chunks (shared with a
             # neighboring tile) merge read-modify-write (sequential grid)
             off = pl.multiple_of(off0 + c * PAIR_CHUNK, PAIR_CHUNK)
@@ -860,7 +861,10 @@ def rasterize_tiled(
     # (the kernel reads it from pair_data ROW_GID — no pair->gid gather).
     pid_pair = pid_pair[:H, :W]
     if with_stats:
-        pid = jnp.where((pid_pair >= 0) & (pid_pair < P), pid_pair, -1)
+        if with_stats is True:
+            pid = jnp.where((pid_pair >= 0) & (pid_pair < P), pid_pair, -1)
+        else:  # "weights": per-point weights only, no pixel ownership map
+            pid = jnp.full((H, W), -1, jnp.int32)
         # per-gaussian max blend weight: segment-max of pair weights by gid
         point_weight = (
             jnp.zeros((P + 1,), jnp.float32)
