@@ -154,20 +154,66 @@ sort_pairs.defvjp(_sort_pairs_fwd, _sort_pairs_bwd)
 # --------------------------------------------------------------------------
 # gather-free binning
 # --------------------------------------------------------------------------
+# above this run count the delta scatter-add serializes catastrophically on
+# TPU (~8 s at 2M indices) and the two-sort merge construction wins
+_EXPAND_SORT_THRESHOLD = 1 << 18
+
+
 def piecewise_expand(values, offsets, length):
     """Expand per-run values (R, P) to (R, length) piecewise-constant rows.
 
     offsets: (P,) int32 run starts (ascending; zero-length runs allowed).
-    Implemented as telescoping-delta scatter-add + cumsum — no pair-axis
-    gathers. The autodiff transpose is reverse-cumsum + boundary gather,
-    i.e. exactly the per-run segment reduction.
+    Two implementations, both gather-free on the pair axis:
+
+    * small P: telescoping-delta scatter-add + cumsum (scatter cost is
+      per-index, ~47 ns each — fine up to a few 100k);
+    * large P: merge-by-sort — interleave (delta, position) records with one
+      filler record per output column via ONE sort keyed on 2*pos+is_filler,
+      running-cumsum the payload, then extract the fillers in column order
+      with a SECOND sort. Two sorts of (P+length) beat the serialized
+      scatter by ~100x at multi-M run counts.
+
+    Both are linear in `values`, so autodiff flows through (scatter-add /
+    sort-permutation + cumsum transposes).
     """
+    P = offsets.shape[0]
+    if P >= _EXPAND_SORT_THRESHOLD:
+        return _piecewise_expand_sort(values, offsets, length)
     deltas = jnp.concatenate(
         [values[:, :1], values[:, 1:] - values[:, :-1]], axis=1
     )
     base = jnp.zeros((values.shape[0], length), values.dtype)
     seeded = base.at[:, offsets].add(deltas, mode="drop")
     return jnp.cumsum(seeded, axis=1)
+
+
+def _piecewise_expand_sort(values, offsets, length):
+    R, P = values.shape
+    A = length
+    deltas = jnp.concatenate(
+        [values[:, :1], values[:, 1:] - values[:, :-1]], axis=1
+    )
+    # reals sort immediately BEFORE the filler of the same column, so the
+    # running cumsum at each filler includes every delta at offsets <= j;
+    # out-of-range runs (offset clamped to A) land beyond every filler = drop
+    key_real = jnp.minimum(offsets, A).astype(jnp.int32) * 2
+    key_fill = jnp.arange(A, dtype=jnp.int32) * 2 + 1
+    keys = jnp.concatenate([key_real, key_fill])
+    merged = jnp.concatenate(
+        [deltas, jnp.zeros((R, A), values.dtype)], axis=1
+    )
+    ops = (keys,) + tuple(merged[r] for r in range(R))
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    k_s = sorted_ops[0]
+    run = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=0), axis=1)
+    # second sort brings fillers to the front in column order
+    is_fill = (k_s & 1) == 1
+    key2 = jnp.where(
+        is_fill, k_s >> 1, A + jnp.arange(P + A, dtype=jnp.int32)
+    )
+    ops2 = (key2,) + tuple(run[r] for r in range(R))
+    sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
+    return jnp.stack(sorted2[1:], axis=0)[:, :A]
 
 
 def build_pairs(splats, colors, image_height, image_width, max_pairs):
@@ -177,6 +223,10 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
     for tail DMA overrun).
     """
     P = splats.opacity.shape[0]
+    # ids ride f32 rows (ROW_GID and the expansion), exact only below 2^24;
+    # render slices are LoD cuts (~100-300k) so this bounds the SLICE, not
+    # the scene. Lift by splitting the slice if ever hit.
+    assert P < (1 << 24), f"rasterize slice too large for f32 id rows: {P}"
     tiles_x = pl.cdiv(image_width, TILE_W)
     tiles_y = pl.cdiv(image_height, TILE_H)
     num_tiles = tiles_x * tiles_y

@@ -197,3 +197,42 @@ def test_packed_sort_keys_match_oracle(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(packed["radii"]), np.asarray(exact["radii"])
     )
+
+
+def test_piecewise_expand_sort_impl_matches_scatter():
+    """The large-P merge-by-sort expansion must agree with the scatter
+    implementation, values and gradients, including zero-length runs and
+    out-of-range (dropped) offsets."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from log_tpu.ops import rasterize_tiled as rt
+
+    rng = np.random.default_rng(3)
+    P, A, R = 50, 300, 4
+    lens = rng.integers(0, 12, P)
+    lens[5] = 0
+    lens[17] = 0
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int32)
+    offsets[-3:] = A + 7  # overflow runs must drop
+    values = rng.random((R, P)).astype(np.float32)
+
+    def scatter_impl(v):
+        deltas = jnp.concatenate([v[:, :1], v[:, 1:] - v[:, :-1]], axis=1)
+        base = jnp.zeros((R, A), jnp.float32)
+        seeded = base.at[:, jnp.asarray(offsets)].add(deltas, mode="drop")
+        return jnp.cumsum(seeded, axis=1)
+
+    def sort_impl(v):
+        return rt._piecewise_expand_sort(v, jnp.asarray(offsets), A)
+
+    v = jnp.asarray(values)
+    np.testing.assert_allclose(
+        np.asarray(sort_impl(v)), np.asarray(scatter_impl(v)), atol=1e-5
+    )
+    # gradients: contract both with the same random cotangent
+    ct = jnp.asarray(rng.random((R, A)).astype(np.float32))
+    g1 = jax.grad(lambda x: jnp.sum(scatter_impl(x) * ct))(v)
+    g2 = jax.grad(lambda x: jnp.sum(sort_impl(x) * ct))(v)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
