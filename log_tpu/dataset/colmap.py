@@ -132,7 +132,9 @@ class ImageDataset(ImageBase):
         self.scale3d = scale3d
         self.crop_size = list(crop_size)
         self.crop_ltrb = crop_ltrb
-        self.rng = np.random.default_rng()
+        # crop draws run under the global seed (seed_everything) for
+        # reproducible runs, like the reference's torch-global-seeded crops
+        self.rng = np.random.default_rng(np.random.randint(0, 2**31 - 1))
         print(
             f"[{self.__class__.__name__}] set scales: {scales}, "
             f"crop size: {crop_size}"

@@ -46,8 +46,19 @@ class LoG:
         self.gaussian = GaussianPoint(**gaussian)
         self.tree = TensorTree(**tree)
         self.counter = Counter(self.gaussian.capacity)
-        self.splitter = Splitter(N=tree.get("max_child", 2), split_method="uniform")
+        # the reference hardcodes split_method='uniform'
+        # (LoG/model/level_of_gaussian.py:182); we additionally let YAML
+        # select 'sample' (LoG/model/splitter.py:59-93) via densify_and_remove
+        self.splitter = Splitter(
+            N=tree.get("max_child", 2),
+            split_method=densify_and_remove.get("split_method", "uniform"),
+        )
         self.densify_and_remove = dict(densify_and_remove)
+        # densification random draws run under the global seed set by
+        # seed_everything (reference: torch global seed,
+        # LoG/model/level_of_gaussian.py:413-414) — derive a stream from it
+        # so two identical seeded runs densify identically
+        self._rng = np.random.default_rng(np.random.randint(0, 2**31 - 1))
         self.fix_parent = True
         self.use_view_correction = use_view_correction
         self.view_correction = Corrector(use_view_correction) if use_view_correction else None
@@ -599,7 +610,7 @@ class LoG:
             f"[LoG] {int(flag_remove_small.sum()):10d} points with radius < "
             f"{d['init_radius_min']:.2f}"
         )
-        rng = np.random.default_rng()
+        rng = self._rng
         flag_remove_small = flag_remove_small & (
             rng.random(weights_max.shape[0]) > 0.5
         )
@@ -642,7 +653,8 @@ class LoG:
             order = np.argsort(-weights_max)
             flag_remove[order[:min_keep]] = False
         new_arrays, num_keep, _ = self.splitter.split_and_remove(
-            arrays, self.gaussian.activation, flag_split, flag_remove
+            arrays, self.gaussian.activation, flag_split, flag_remove,
+            rng=self._rng,
         )
         new_moments = (
             self.splitter.split_and_remove_moments(moments, flag_split, flag_remove)
@@ -723,7 +735,7 @@ class LoG:
         flag_split, flag_remove = self.tree.split_and_remove(flag_split, flag_remove)
         new_arrays, num_keep, num_children = self.splitter.split_and_remove(
             arrays, self.gaussian.activation, flag_split, flag_remove,
-            remove_split=False,
+            remove_split=False, rng=self._rng,
         )
         new_moments = (
             self.splitter.split_and_remove_moments(
