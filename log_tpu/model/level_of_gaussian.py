@@ -146,6 +146,28 @@ class LoG:
             self.tree.log_query = bool(log_query)
 
     # ------------------------------------------------------- device caches
+    @property
+    def cut_method(self) -> str:
+        """'flat' (one-gather cut via the parent-attr cache) unless the
+        config opted out or parents are optimized (opt_all_levels=False puts
+        depth==current_depth parents in the Adam set, which would stale the
+        cache between densifies)."""
+        if getattr(self.tree, "cut_method", "flat") != "flat":
+            return "traverse"
+        if not self.optimizer_cfg.get("opt_all_levels", True):
+            return "traverse"
+        return "flat"
+
+    @property
+    def n_roots_bucket(self) -> int:
+        """Static row-count bucket covering the root prefix [0, n_roots)."""
+        from .gaussian import next_capacity
+
+        n = int(self.tree.root_index.shape[0]) if self.tree.num_points else 0
+        if n == 0:
+            return 0
+        return min(next_capacity(n, 256), self.capacity)
+
     def _refresh_device_caches(self):
         cap = self.capacity
         self._tree_dev = self.tree.device_arrays(cap) if self.tree.num_points else None
@@ -157,6 +179,29 @@ class LoG:
             pad = np.zeros((cap,), bool)
             pad[: leaf_opt.shape[0]] = leaf_opt
             self._leaf_opt_dev = jnp.asarray(pad)
+            if self.cut_method == "flat":
+                self.tree.ensure_root_id()
+                rid = np.zeros((cap,), np.int32)
+                rid[: self.tree.root_id.shape[0]] = self.tree.root_id
+                self._tree_dev["root_id"] = jnp.asarray(rid)
+                # parent-attribute cache (device gather, densify cadence):
+                # parents are frozen between densifies, so their projected
+                # radius can be computed without per-frame parent gathers
+                parent = np.arange(cap, dtype=np.int32)
+                ip = self.tree.index_parent
+                nz = ip >= 0
+                parent[: ip.shape[0]][nz] = ip[nz]
+                parent_dev = jnp.asarray(parent)
+                params = self.gaussian.params()
+                self._tree_dev["parent_xyz"] = jnp.take(
+                    params["xyz"], parent_dev, axis=0
+                )
+                self._tree_dev["parent_scaling"] = jnp.take(
+                    params["scaling"], parent_dev, axis=0
+                )
+                self._tree_dev["parent_rotation"] = jnp.take(
+                    params["rotation"], parent_dev, axis=0
+                )
         else:
             self._leaf_opt_dev = jnp.zeros((cap,), bool)
 
@@ -204,6 +249,8 @@ class LoG:
             backend=pick_backend(self.capacity),
             max_pairs=pick_max_pairs(self.capacity),
             check_scale=int(getattr(self, "check_render_scale", 1)),
+            cut_method=self.cut_method if stage_has_tree else "traverse",
+            n_roots=self.n_roots_bucket if stage_has_tree else 0,
         )
         c = np.asarray(counts)
         k_leaf = next_capacity(int(c[0]), 256)
@@ -473,6 +520,8 @@ class LoG:
                 cfg,
                 fg_mask=fg_dev,
                 bbox=bbox_dev,
+                cut_method=self.cut_method if stage_has_tree else "traverse",
+                n_roots=self.n_roots_bucket if stage_has_tree else 0,
             )
         )
         for k, v in params.items():
@@ -773,6 +822,21 @@ class LoG:
         print(f"[{self.__class__.__name__}] current depth: {self.current_depth}")
         self.counter.reset(self.num_points, self.capacity)
         self._refresh_device_caches()
+
+    def densify_due(self, iteration) -> bool:
+        """True when update_by_iteration will MUTATE device state (counter
+        reset / densify / tree upgrade) at this iteration — used by the
+        sharded executor to sync device->host only when needed. SH upgrades
+        are excluded: they only bump a host scalar."""
+        d = self.densify_and_remove
+        base_iter = self.base_iter
+        densify_from_iter = d["densify_from_iter"] * base_iter
+        densify_every_iter = d["densify_every_iter"] * base_iter
+        if (iteration + 1) == densify_from_iter:
+            return True
+        return (iteration + 1) > densify_from_iter and (
+            iteration + 1
+        ) % densify_every_iter == 0
 
     def update_by_iteration(self, iteration, global_iteration):
         """Densify/SH/tree schedule (LoG/model/level_of_gaussian.py:535-565)."""

@@ -32,11 +32,16 @@ import jax.numpy as jnp
 class TensorTree:
     """Flat-tensor N-ary tree over point indices (host arrays)."""
 
-    KEYS = ("node_index", "index_parent", "local_index", "depth")
+    KEYS = ("node_index", "index_parent", "local_index", "depth", "root_id")
 
-    def __init__(self, max_child: int = 2, max_level: int = 20):
+    def __init__(self, max_child: int = 2, max_level: int = 20,
+                 cut_method: str = "flat"):
         self.max_child = max_child
         self.max_level = max_level
+        # per-camera cut selection: 'flat' (one-gather predicate using
+        # cached parent attrs — see flat_cut) or 'traverse' (per-level
+        # parent-pointer loop, the reference-exact BFS equivalent)
+        self.cut_method = cut_method
         self.root_index = np.zeros((0,), np.int32)
         self.node_index = np.zeros((0,), np.int32) - 1
         self.index_parent = np.zeros((0,), np.int32) - 1
@@ -44,6 +49,10 @@ class TensorTree:
         # tiny anyway and int32 gathers are native on TPU).
         self.local_index = np.zeros((0,), np.int32)
         self.depth = np.zeros((0,), np.int32)
+        # row of this point's root ancestor (== own row for roots); root
+        # rows never move under remove-compaction (only appended children
+        # are ever removed), so these stay valid across densifies
+        self.root_id = np.zeros((0,), np.int32)
         self.tree = np.zeros((0, max_child), np.int32) - 1
         self.min_resolution_pixel = 3.0
         self.log_query = False
@@ -80,6 +89,7 @@ class TensorTree:
         self.index_parent = np.full((num_points,), -1, np.int32)
         self.local_index = np.full((num_points,), -1, np.int32)
         self.depth = np.zeros((num_points,), np.int32)
+        self.root_id = np.arange(num_points, dtype=np.int32)
         self.tree = np.zeros((0, self.max_child), np.int32) - 1
 
     def __repr__(self):
@@ -120,6 +130,10 @@ class TensorTree:
         self.index_parent = np.concatenate([self.index_parent, index_parent])
         self.depth = np.concatenate([self.depth, depth])
         self.local_index = np.concatenate([self.local_index, local_index])
+        self.root_id = np.concatenate(
+            [self.root_id,
+             np.repeat(self.root_id[parent_index], self.max_child)]
+        )
 
     def remove(self, index: np.ndarray) -> None:
         """Remove leaf points + compact/renumber (LoG/model/tensor_tree.py:92-118)."""
@@ -142,6 +156,11 @@ class TensorTree:
         self.index_parent[flag_nonroot] = left_index[
             self.index_parent[flag_nonroot].astype(np.int64)
         ].astype(np.int32)
+        # root rows never shift (removed rows are always appended children),
+        # but renumber defensively the same way as index_parent
+        self.root_id = left_index[self.root_id.astype(np.int64)].astype(
+            np.int32
+        )
         # parents whose children are all gone become leaves again
         flag_parent = self.node_index != -1
         emptied = (self.tree[self.node_index[flag_parent].astype(np.int64)] < 0).all(
@@ -166,6 +185,20 @@ class TensorTree:
         self.split(index_split)
         self.remove(index_remove)
         return flag_split, flag_remove
+
+    def ensure_root_id(self) -> None:
+        """Reconstruct root_id by walking parents (checkpoints from the
+        reference or from before the flat cut lack it)."""
+        n = self.num_points
+        if getattr(self, "root_id", None) is not None and \
+                self.root_id.shape[0] == n:
+            return
+        rid = np.arange(n, dtype=np.int32)
+        depth_max = int(self.depth.max()) if n else 0
+        for d in range(1, depth_max + 1):
+            m = self.depth == d
+            rid[m] = rid[self.index_parent[m].astype(np.int64)]
+        self.root_id = rid
 
     # ---------------------------------------------------------- device cut
     def device_arrays(self, capacity: int) -> dict:
@@ -225,3 +258,43 @@ def traverse_cut(
         (jnp.zeros_like(is_root), jnp.zeros_like(is_root)),
     )
     return keep
+
+
+@jax.jit
+def flat_cut(
+    index_parent: jax.Array,
+    node_index: jax.Array,
+    depth: jax.Array,
+    root_id: jax.Array,
+    radius2d: jax.Array,
+    radius2d_parent: jax.Array,
+    root_visible: jax.Array,
+    alive_mask: jax.Array,
+    min_resolution_pixel,
+    max_depth,
+):
+    """One-gather LoD cut (the traverse's per-level parent gathers cost
+    ~28 ms/level at multi-M points; this is the per-frame hot path).
+
+    Exactly equivalent to `traverse_cut` whenever projected radius is
+    monotone non-increasing parent->child: "all proper ancestors descended"
+    then collapses to "immediate parent's radius >= min_pixel AND own depth
+    <= depth cap" because the parent is the smallest ancestor. Monotonicity
+    can break only for near-threshold points whose child projects slightly
+    larger than its parent (depth offset of the split); the failure mode is
+    bounded overdraw (an ancestor and a descendant both kept), never a hole.
+
+    radius2d_parent comes from a per-point PARENT ATTRIBUTE CACHE (parents
+    are never optimized between densifies — the reference freezes them too,
+    fix_parent; LoG/model/level_of_gaussian.py:244-256), so the only gather
+    left is root_visible[root_id].
+    """
+    is_root = index_parent == -1
+    is_leaf = node_index == -1
+    small = radius2d < min_resolution_pixel
+    parent_big = radius2d_parent >= min_resolution_pixel
+    root_vis = root_visible[jnp.maximum(root_id, 0)]
+    reach = root_vis & jnp.where(
+        is_root, True, parent_big & (depth <= max_depth)
+    )
+    return alive_mask & reach & (small | is_leaf | (depth >= max_depth))

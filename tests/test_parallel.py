@@ -1,8 +1,393 @@
-"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+"""Multi-chip production-step tests on the virtual 8-device CPU mesh.
+
+The headline assertions (VERDICT round-1 items 2/5):
+  * the sharded step (B=1 camera padded to the batch) matches the
+    single-chip `fused` production path's params/moments/counters over
+    10 consecutive steps, on a REAL LoD-tree model;
+  * the same batch of cameras stepped on a 1-device mesh and a 4-device
+    mesh produces identical state (collectives change nothing);
+  * the driver's dryrun entry runs.
+"""
+import copy
+import math
+
 import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
+
+
+def _toy_tree_model(tmp_path, n=300, seed=3, with_tree=True):
+    """LoG model with a genuine 2-level tree built by the production
+    densify machinery (update_depth_stage with forced counters)."""
+    from log_tpu.dataset.synthetic import random_gaussians
+    from log_tpu.model.level_of_gaussian import LoG
+
+    rng = np.random.default_rng(seed)
+    scene = random_gaussians(n, rng)
+    npz = tmp_path / "sparse.npz"
+    np.savez(
+        npz, xyz=scene["xyz"], rgb=(scene["colors"] * 255).astype(np.uint8)
+    )
+    model = LoG(
+        gaussian={
+            "init_ply": {"filename": str(npz), "init_opacity": 0.3},
+            "sh_degree": 1,
+            "xyz_scale": 1.0,
+        },
+        tree={"max_child": 4, "max_level": 30},
+        optimizer={
+            "optimize_keys": ["xyz", "colors", "scaling", "opacity",
+                              "rotation", "shs"],
+            "opt_all_levels": True,
+            "lr_dict": {
+                "xyz": 0.00016, "xyz_final": 0.0000016, "xyz_scale": 1.0,
+                "colors": 0.0025, "shs": 0.000125, "scaling": 0.005,
+                "opacity": 0.05, "rotation": 0.001, "max_steps": 600,
+            },
+        },
+        densify_and_remove={
+            "upgrade_sh_iter": 10, "densify_from_iter": 1,
+            "densify_every_iter": 1, "upgrade_repeat": 50,
+            "init_split_method": "split_by_2d", "init_radius_min": 4,
+            "init_radius_split": 16, "init_weight_min": 0.1, "min_steps": 50,
+            "method": "naive", "split_grad_thres": 0.0002,
+            "radius2d_thres": 6, "remove_weights_thres": 0.005,
+            "max_split_points": 20000, "sort_method": "radii",
+            "min_steps_split": 100, "scaling_decay": 0.9,
+        },
+    )
+    # anisotropic scales: with isotropic gaussians the loss is invariant to
+    # rotation, rotation grads are pure float noise, and Adam (eps=1e-15)
+    # sign-amplifies that noise into path-dependent random walks — the
+    # cross-path comparison below would be meaningless
+    arrays = {k: np.array(v) for k, v in model.gaussian.to_numpy().items()}
+    arrays["scaling"] = (
+        arrays["scaling"] + rng.uniform(-0.5, 0.5, arrays["scaling"].shape)
+    ).astype(np.float32)
+    model.gaussian.set_numpy(arrays)
+    model.training_setup()
+    if with_tree:
+        model.upgrade_tree()
+        # force a real split through update_depth_stage: mark the first 16
+        # roots as hot in the counters
+        n0 = model.num_points
+        cnt = {k: np.array(v)
+               for k, v in model.counter.to_numpy(n0).items()}
+        cnt["create_steps"][:] = 1000
+        cnt["grad_sum"][:16] = 100.0
+        cnt["area_sum"][:] = 1
+        cnt["radii_max_max"][:16] = 10_000
+        model.counter.set_numpy(cnt, model.capacity)
+        model.current_depth = 20
+        model.update_depth_stage(0)
+        assert model.tree.num_nodes > 0
+        assert int((model.tree.depth > 0).sum()) > 0
+    return model
+
+
+def _cameras(num, H=48, W=64):
+    from log_tpu.dataset.base import prepare_camera
+    from log_tpu.dataset.synthetic import ring_cameras
+
+    cams = []
+    for cam in ring_cameras(num, H, W):
+        cams.append(prepare_camera(cam, 1, 0.01, 100.0))
+    return cams
+
+
+def _stack_cameras(pcams):
+    """Host camera dicts -> the sharded step's stacked arrays."""
+    mats, scalars, centers = [], [], []
+    for pc in pcams:
+        H, W = int(pc["image_height"]), int(pc["image_width"])
+        tx = math.tan(float(pc["FoVx"]) * 0.5)
+        ty = math.tan(float(pc["FoVy"]) * 0.5)
+        mats.append(np.stack([
+            np.asarray(pc["world_view_transform"], np.float32),
+            np.asarray(pc["full_proj_transform"], np.float32),
+        ]))
+        scalars.append([W / (2 * tx), H / (2 * ty), tx, ty])
+        centers.append(np.asarray(pc["camera_center"], np.float32).reshape(3))
+    return (
+        jnp.asarray(np.stack(mats)),
+        jnp.asarray(np.stack(scalars), jnp.float32),
+        jnp.asarray(np.stack(centers)),
+    )
+
+
+def _model_state(model):
+    # copies: the step donates its state buffers; the model's own arrays
+    # must survive for the next comparison run
+    params = {
+        k: jnp.array(np.asarray(v))
+        for k, v in model.gaussian.params().items()
+    }
+    moments = jax.tree.map(
+        lambda v: jnp.array(np.asarray(v)), model.optimizer.moments
+    )
+    counter = {
+        k: jnp.array(np.asarray(v)) for k, v in model.counter.data.items()
+    }
+    cap = model.capacity
+    tree_rep = model.tree.device_arrays(cap)
+    if model.tree.num_nodes > 0:
+        leaf_opt = (model.tree.node_index == -1) & (model.tree.depth > 0)
+        pad = np.zeros((cap,), bool)
+        pad[: leaf_opt.shape[0]] = leaf_opt
+        is_leaf_opt = jnp.asarray(pad)
+    else:
+        is_leaf_opt = jnp.zeros((cap,), bool)
+    return params, moments, counter, tree_rep, is_leaf_opt
+
+
+def _zero_corr():
+    return {
+        "values": jnp.ones((1, 3), jnp.float32),
+        "m1": jnp.zeros((1, 3), jnp.float32),
+        "m2": jnp.zeros((1, 3), jnp.float32),
+        "vmax": jnp.zeros((1, 3), jnp.float32),
+        "steps": jnp.zeros((1,), jnp.int32),
+    }
+
+
+def _run_sharded(model, cams, gts, n_devices, steps, k_leaf, k_node,
+                 backend="reference", cams_per_device=1, real_per_step=None):
+    """Run `steps` sharded steps cycling through cams; returns final state.
+
+    real_per_step: how many batch lanes carry a real camera (rest pad with
+    camera 0 at weight 0). Default: the full batch."""
+    from log_tpu.model.level_of_gaussian import _host_lrs
+    from log_tpu.parallel.sharded_step import (
+        ShardedStepConfig, sharded_train_step,
+    )
+
+    params, moments, counter, tree_rep, is_leaf_opt = _model_state(model)
+    H, W = gts[0].shape[1:]
+    B = n_devices * cams_per_device
+    cfg = ShardedStepConfig(
+        image_height=H, image_width=W, k_leaf=k_leaf, k_node=k_node,
+        sh_degree=model.gaussian.active_sh_degree, n_devices=n_devices,
+        cams_per_device=cams_per_device, backend=backend,
+        prep_backend=backend, stage_has_tree=model.tree.num_nodes > 0,
+        num_levels=(int(model.tree.depth.max()) + 1
+                    if model.tree.num_points else 1),
+        max_pairs=1 << 16, prep_max_pairs=1 << 16,
+    )
+    corr = _zero_corr()
+    bg = jnp.zeros((B, 3), jnp.float32)
+    min_res = jnp.full((B,), float(model.tree.min_resolution_pixel),
+                       jnp.float32)
+    losses = []
+    gstep = 0
+    n_real = min(B, len(cams)) if real_per_step is None else real_per_step
+    for s in range(steps):
+        sel = [(s * n_real + j) % len(cams) for j in range(n_real)]
+        sel += [sel[0]] * (B - n_real)
+        weight = np.zeros((B,), np.float32)
+        weight[:n_real] = 1.0
+        cam_mats, cam_scalars, cam_center = _stack_cameras(
+            [cams[i] for i in sel]
+        )
+        gt = jnp.asarray(np.stack([gts[i] for i in sel]))
+        gstep += 1
+        lrs = _host_lrs(model.optimizer, gstep)
+        params, moments, counter, corr, metrics, counts = sharded_train_step(
+            params, moments, counter, tree_rep, is_leaf_opt,
+            model.num_points, model.current_depth, min_res, cam_mats,
+            cam_scalars, cam_center, bg, gt, jnp.asarray(weight), lrs,
+            gstep, corr, jnp.zeros((B,), jnp.int32), cfg,
+        )
+        losses.append(float(metrics["loss"]))
+    return params, moments, counter, losses
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    from log_tpu.dataset.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(n_gaussians=80, n_views=6, H=48, W=64, seed=7)
+    gts = [im.transpose(2, 0, 1).astype(np.float32) for im in ds.images]
+    return gts
+
+
+def test_sharded_matches_fused_single_chip(tmp_path, scene):
+    """B=1 (padded to 8 lanes, weight 0) over 10 steps == the single-chip
+    production path, on a real tree model, params/moments/counters."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    gts = scene
+    cams = _cameras(6)
+    model = _toy_tree_model(tmp_path)
+
+    # ---- single-chip production path (prepare + fused train step)
+    model_sc = copy.deepcopy(model)
+    k_seen = set()
+    for s in range(10):
+        cam_i = s % len(cams)
+        model_sc.clear()
+        vf = model_sc.prepare_from_camera(cams[cam_i])
+        k_seen.add((vf["k_leaf"], vf["k_node"]))
+        model_sc.train_step(
+            cams[cam_i], gts[cam_i], np.zeros(3, np.float32),
+            view_index=0,
+        )
+    assert len(k_seen) == 1, f"bucket must be stable for this test: {k_seen}"
+    (k_leaf, k_node) = next(iter(k_seen))
+
+    params_sh, moments_sh, counter_sh, losses = _run_sharded(
+        model, cams, gts, n_devices=8, steps=10, k_leaf=k_leaf,
+        k_node=k_node, real_per_step=1,
+    )
+    assert np.all(np.isfinite(losses))
+
+    n = model.num_points
+    for key in model.gaussian.keys:
+        a = np.asarray(model_sc.gaussian.get(key))[:n]
+        b = np.asarray(params_sh[key])[:n]
+        if key == "rotation":
+            # the quat-scale direction is a loss null space: its grad is
+            # float noise, amplified by Adam into path-dependent drift along
+            # q. Compare the physical (normalized) rotations.
+            a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+            b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=2e-4, err_msg=f"params[{key}]"
+            )
+            continue
+        np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=2e-5, err_msg=f"params[{key}]"
+        )
+    for mk in ("exp_avg", "exp_avg_sq"):
+        for key in moments_sh[mk]:
+            if key == "rotation":
+                continue  # null-direction noise moments (see above)
+            a = np.asarray(model_sc.optimizer.moments[mk][key])[:n]
+            b = np.asarray(moments_sh[mk][key])[:n]
+            np.testing.assert_allclose(
+                a, b, rtol=2e-3, atol=1e-7, err_msg=f"moments[{mk}][{key}]"
+            )
+    for key in ("visible_count", "create_steps", "area_sum"):
+        a = np.asarray(model_sc.counter.data[key])[:n]
+        b = np.asarray(counter_sh[key])[:n]
+        np.testing.assert_array_equal(a, b, err_msg=f"counter[{key}]")
+    for key in ("weights_max", "weights_sum", "grad_sum"):
+        a = np.asarray(model_sc.counter.data[key])[:n]
+        b = np.asarray(counter_sh[key])[:n]
+        np.testing.assert_allclose(
+            a, b, rtol=2e-3, atol=1e-5, err_msg=f"counter[{key}]"
+        )
+
+
+def test_sharded_n1_equals_n4(tmp_path, scene):
+    """The same 4-camera batch on a 1-device and a 4-device mesh must agree:
+    the collectives are numerically transparent."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    gts = scene
+    cams = _cameras(6)
+    model = _toy_tree_model(tmp_path, seed=4)
+
+    p1, m1, c1, l1 = _run_sharded(
+        model, cams, gts, n_devices=1, steps=3, k_leaf=256, k_node=256,
+        cams_per_device=4,
+    )
+    p4, m4, c4, l4 = _run_sharded(
+        model, cams, gts, n_devices=4, steps=3, k_leaf=256, k_node=256,
+        cams_per_device=1,
+    )
+    np.testing.assert_allclose(l1, l4, rtol=1e-5)
+    n = model.num_points
+    for key in p1:
+        a = np.asarray(p1[key])[:n]
+        b = np.asarray(p4[key])[:n]
+        if key == "rotation":
+            a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+            b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=2e-4, err_msg=key
+            )
+            continue
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6, err_msg=key)
+    for key in ("visible_count", "area_sum"):
+        np.testing.assert_array_equal(
+            np.asarray(c1[key])[:n], np.asarray(c4[key])[:n], err_msg=key
+        )
+
+
+def test_sharded_tiled_backend_step(tmp_path, scene):
+    """One step through the tiled (Pallas) backend on the 8-device mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    gts = scene
+    cams = _cameras(6)
+    model = _toy_tree_model(tmp_path, seed=5)
+    params0 = {k: np.asarray(v) for k, v in model.gaussian.params().items()}
+    params, moments, counter, losses = _run_sharded(
+        model, cams, gts, n_devices=8, steps=1, k_leaf=256, k_node=256,
+        backend="tiled",
+    )
+    assert np.isfinite(losses[0])
+    n = model.num_points
+    delta = np.abs(
+        np.asarray(params["xyz"])[:n] - params0["xyz"][:n]
+    ).sum()
+    assert delta > 0.0
+
+
+@pytest.mark.slow
+def test_executor_fit_and_densify(tmp_path):
+    """Production lifecycle through ShardedExecutor: batched data-parallel
+    fit -> loss drops; host densify mid-run with re-shard; PSNR beats init."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from log_tpu.dataset.synthetic import SyntheticDataset
+    from log_tpu.parallel.executor import ShardedExecutor
+    from tests.test_train_smoke import build_model, psnr
+
+    ds = SyntheticDataset(n_gaussians=120, n_views=6, H=48, W=64, seed=0)
+    model = build_model(ds)
+    bg = ds.background
+    execu = ShardedExecutor(model, n_devices=8, backend="reference")
+    rng = np.random.default_rng(0)
+
+    def run_steps(n_steps):
+        losses = []
+        for _ in range(n_steps):
+            sel = [int(rng.integers(len(ds))) for _ in range(execu.batch)]
+            items = [ds[i] for i in sel]
+            metrics, counts = execu.step(
+                [it["camera"] for it in items],
+                [it["image"].transpose(2, 0, 1) for it in items],
+                view_indices=[it["index"] for it in items],
+                backgrounds=[bg] * len(items),
+            )
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    first = run_steps(12)
+    # host densify (init stage) with device->host sync and re-shard
+    execu.sync_to_model()
+    n_before = model.num_points
+    cnt = {k: np.array(v) for k, v in model.counter.to_numpy(n_before).items()}
+    assert cnt["visible_count"].max() > 0  # counters really accumulated
+    model.update_init_stage()
+    execu.refresh_from_model()
+    second = run_steps(12)
+    assert np.all(np.isfinite(first + second))
+    assert np.mean(second[-6:]) < np.mean(first[:6]), (first, second)
+
+    execu.sync_to_model()
+    from log_tpu.render.renderer import NaiveRendererAndLoss
+
+    renderer = NaiveRendererAndLoss(split="val", background=tuple(bg))
+    model.eval()
+    item = ds[0]
+    model.prepare_from_camera(item["camera"])
+    out = renderer.render_one(model, item["camera"], bg)
+    p = psnr(np.asarray(out["render"]), item["image"].transpose(2, 0, 1))
+    assert p > 11.0, f"PSNR {p}"
 
 
 def test_dryrun_multichip_8dev():
