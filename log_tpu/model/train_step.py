@@ -475,6 +475,117 @@ def fused_prepare_train_step(
     static_argnames=(
         "image_height",
         "image_width",
+        "k_visible",
+        "sh_degree",
+        "stage_has_tree",
+        "num_levels",
+        "mode",
+        "backend",
+        "max_pairs",
+        "check_scale",
+        "cut_method",
+        "n_roots",
+        "prep_backend",
+        "prep_max_pairs",
+        "use_filter",
+    ),
+)
+def fused_prepare_render(
+    params: dict,
+    tree_arrays: dict,
+    cam: dict,
+    n_alive: jax.Array,
+    is_leaf_opt: jax.Array,
+    min_resolution_pixel: jax.Array,
+    current_depth: jax.Array,
+    background: jax.Array,
+    image_height: int,
+    image_width: int,
+    k_visible: int,
+    sh_degree: int,
+    stage_has_tree: bool,
+    num_levels: int,
+    mode: str = "antialias",
+    backend: str = "tiled",
+    max_pairs: int = 1 << 20,
+    check_scale: int = 1,
+    cut_method: str = "flat",
+    n_roots: int = 0,
+    prep_backend: str = "tiled",
+    prep_max_pairs: int = 1 << 20,
+    use_filter: bool = False,
+):
+    """Inference: LoD cut + slice gather + activation + render in ONE
+    executable — zero per-frame host syncs (the demo/viewer/bench hot path;
+    reference timing loop: /root/reference/apps/train.py:41-83). k_visible
+    is a static cut budget; overflow truncates the cut for that frame.
+    Returns (render (3,H,W), counts (2,))."""
+    keep_leaf, keep_node, counts = _prepare_core(
+        params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
+        current_depth, image_height, image_width, stage_has_tree, num_levels,
+        mode, prep_backend, prep_max_pairs, check_scale, cut_method, n_roots,
+    )
+    keep = keep_leaf | keep_node
+    cap = params["xyz"].shape[0]
+    index = jnp.nonzero(keep, size=k_visible, fill_value=cap)[0]
+    lane_valid = index < cap
+    slices = _gather_slices(params, index, lane_valid)
+    cfg = StepConfig(
+        image_height=image_height,
+        image_width=image_width,
+        k_leaf=k_visible,
+        k_node=0,
+        sh_degree=sh_degree,
+        mode=mode,
+        backend=backend,
+        max_pairs=max_pairs,
+    )
+    scaling = jnp.exp(slices["scaling"])
+    opacity = jax.nn.sigmoid(slices["opacity"][:, 0])
+    rotation = slices["rotation"] / jnp.linalg.norm(
+        slices["rotation"], axis=-1, keepdims=True
+    )
+    colors = sh_to_rgb(slices["colors"])
+    if sh_degree > 0 and "shs" in slices:
+        dirs = slices["xyz"] - cam["camera_center"][None]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        colors = colors + eval_sh(dirs, slices["shs"], degree=sh_degree)
+    kwargs = dict(
+        xyz=slices["xyz"],
+        colors=colors,
+        opacity=opacity,
+        scaling=scaling,
+        rotation=rotation,
+        means2d_offset=jnp.zeros((k_visible, 2), jnp.float32),
+        world_view=cam["world_view"],
+        full_proj=cam["full_proj"],
+        focal_x=cam["focal_x"],
+        focal_y=cam["focal_y"],
+        tan_fovx=cam["tan_fovx"],
+        tan_fovy=cam["tan_fovy"],
+        background=background,
+        image_height=image_height,
+        image_width=image_width,
+        active_mask=lane_valid,
+        mode=mode,
+        use_filter=use_filter,
+    )
+    if backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        out = rasterize_tiled(**kwargs, max_pairs=max_pairs, with_stats=False)
+    else:
+        out = rasterize_ref.rasterize(**kwargs)
+    return out["render"], counts
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "image_height",
+        "image_width",
         "stage_has_tree",
         "num_levels",
         "mode",
@@ -523,8 +634,10 @@ def prepare_visibility(
     cap = params["xyz"].shape[0]
     alive = jnp.arange(cap) < n_alive
     xyz = params["xyz"]
-    p_ndc, _ = gm.project_ndc(xyz, cam["full_proj"])
-    in_frustum = gm.frustum_flag(p_ndc, padding=0.5) & alive
+    px, py, pz, _ = gm.project_ndc_c(
+        xyz[..., 0], xyz[..., 1], xyz[..., 2], cam["full_proj"]
+    )
+    in_frustum = gm.frustum_flag_c(px, py, pz, padding=0.5) & alive
 
     if not stage_has_tree:
         keep_leaf = in_frustum

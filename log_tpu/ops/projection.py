@@ -67,19 +67,20 @@ def project_gaussians(
     (NDC-convention screen gradient used by densification;
     LoG/model/counter.py:46).
     """
-    t = gm.transform_point(xyz, world_view)
-    depth = t[..., 2]
-    p_ndc, _ = gm.project_ndc(xyz, full_proj)
-    ndc_xy = p_ndc[..., :2]
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    tx, ty, tz = gm.transform_point_c(x, y, z, world_view)
+    depth = tz
+    ndc_x, ndc_y, _, _ = gm.project_ndc_c(x, y, z, full_proj)
     if means2d_offset is not None:
-        ndc_xy = ndc_xy + means2d_offset
-    pix_x = gm.ndc_to_pix(ndc_xy[..., 0], image_width)
-    pix_y = gm.ndc_to_pix(ndc_xy[..., 1], image_height)
+        ndc_x = ndc_x + means2d_offset[..., 0]
+        ndc_y = ndc_y + means2d_offset[..., 1]
+    pix_x = gm.ndc_to_pix(ndc_x, image_width)
+    pix_y = gm.ndc_to_pix(ndc_y, image_height)
     pix_xy = jnp.stack([pix_x, pix_y], axis=-1)
 
-    cov3d = gm.build_cov3d(scaling, rotation)
-    cxx, cxy, cyy = gm.ewa_cov2d(
-        cov3d, xyz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
+    cov3d_c = gm.build_cov3d_c(scaling, rotation)
+    cxx, cxy, cyy = gm.ewa_cov2d_c(
+        cov3d_c, tx, ty, tz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
     )
     det_raw = cxx * cyy - cxy * cxy
     if mode == "original":

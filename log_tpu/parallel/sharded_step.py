@@ -152,8 +152,10 @@ def _per_camera_prepare_local(params_l, cam_mats, cam_scalars, n_alive,
     capl = params_l["xyz"].shape[0]
     alive = (jnp.arange(capl) + row_offset) < n_alive
     xyz = params_l["xyz"]
-    p_ndc, _ = gm.project_ndc(xyz, cam_mats[1])
-    in_frustum = gm.frustum_flag(p_ndc, padding=0.5) & alive
+    px, py, pz, _ = gm.project_ndc_c(
+        xyz[..., 0], xyz[..., 1], xyz[..., 2], cam_mats[1]
+    )
+    in_frustum = gm.frustum_flag_c(px, py, pz, padding=0.5) & alive
     scaling = jnp.exp(params_l["scaling"])
     rotation = params_l["rotation"] / jnp.maximum(
         jnp.linalg.norm(params_l["rotation"], axis=-1, keepdims=True), 1e-12
