@@ -105,6 +105,15 @@ class GaussianPoint:
         keys = keys or self.keys
         return {k: np.asarray(self._data[k])[: self.num_points] for k in keys}
 
+    def set_device(self, arrays: dict, num_points: int, capacity: int) -> None:
+        """Replace state with capacity-padded DEVICE arrays (device-resident
+        densification — no host round trip)."""
+        self.num_points = int(num_points)
+        self.capacity = int(capacity)
+        for key, val in arrays.items():
+            assert val.shape[0] == capacity, (key, val.shape, capacity)
+            self._data[key] = val
+
     # ------------------------------------------------------------- init
     @staticmethod
     def init_rotation(num_points: int) -> np.ndarray:

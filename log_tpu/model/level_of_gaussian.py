@@ -540,6 +540,78 @@ class LoG:
         self.visibility_flag = {"keep_mask": aux["keep_mask"]}
         return metrics, aux
 
+    def render_fused(self, camera: dict, background):
+        """Inference frame: cut + gather + render in ONE executable (zero
+        per-frame host syncs; the demo/viewer hot path). Returns a dict with
+        'render' (3,H,W) and 'alpha' (H,W) device arrays."""
+        from ..ops import pick_backend, pick_max_pairs
+        from ..render.renderer import camera_device
+        from .gaussian import next_capacity
+        from .train_step import fused_prepare_render
+
+        cam = camera_device(camera)
+        stage_has_tree = self.tree.num_nodes > 0
+        if self._tree_dev is None or (
+            stage_has_tree
+            and self.cut_method == "flat"
+            and "parent_xyz" not in self._tree_dev
+        ):
+            self._refresh_device_caches()
+        if getattr(self, "_render_bucket", None) is None:
+            vf = self.prepare_from_camera(camera)
+            self._render_bucket = next_capacity(
+                int(sum(vf["counts"]) * 1.2), 1 << 14
+            )
+            self._render_counts_dev = None
+        elif getattr(self, "_render_counts_dev", None) is not None:
+            c = np.asarray(self._render_counts_dev)
+            need = next_capacity(int(c.sum() * 1.2), 1 << 14)
+            b = self._render_bucket
+            if need > b or need * 2 < b:
+                self._render_bucket = need
+        k_vis = min(self._render_bucket, self.capacity)
+        backend = pick_backend(self.capacity)
+        if stage_has_tree:
+            tree_arrays = self._tree_dev
+            num_levels = int(self.tree.depth.max()) + 1
+        else:
+            cap = self.capacity
+            tree_arrays = {
+                "node_index": jnp.zeros((cap,), jnp.int32),
+                "index_parent": jnp.zeros((cap,), jnp.int32),
+                "depth": jnp.zeros((cap,), jnp.int32),
+            }
+            num_levels = 1
+        render, alpha, counts = fused_prepare_render(
+            self.gaussian.params(),
+            tree_arrays,
+            cam,
+            jnp.int32(self.num_points),
+            self._leaf_opt_dev,
+            jnp.float32(self.tree.min_resolution_pixel),
+            jnp.int32(self.current_depth),
+            jnp.asarray(background, jnp.float32),
+            cam["image_height"],
+            cam["image_width"],
+            k_visible=k_vis,
+            sh_degree=self.gaussian.active_sh_degree,
+            stage_has_tree=stage_has_tree,
+            num_levels=num_levels,
+            backend=backend,
+            max_pairs=pick_max_pairs(k_vis, per_point=6),
+            check_scale=int(getattr(self, "check_render_scale", 1)),
+            cut_method=self.cut_method if stage_has_tree else "traverse",
+            n_roots=self.n_roots_bucket if stage_has_tree else 0,
+            prep_backend=backend,
+            prep_max_pairs=pick_max_pairs(self.capacity, per_point=1),
+        )
+        self._render_counts_dev = counts
+        try:
+            counts.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        return {"render": render, "alpha": alpha}
+
     def _corr_device_state(self):
         """Per-view correction Adam state, device-resident across steps."""
         if getattr(self, "_corr_dev", None) is None:
@@ -624,7 +696,10 @@ class LoG:
     def _pull_host(self):
         n = self.num_points
         arrays = self.gaussian.to_numpy()
-        counter_np = self.counter.to_numpy(n)
+        # writable copies: densify policies mutate these in place
+        counter_np = {
+            k: np.array(v) for k, v in self.counter.to_numpy(n).items()
+        }
         moments_np = self.optimizer.to_numpy(n) if self.optimizer else None
         return arrays, counter_np, moments_np
 
@@ -639,11 +714,183 @@ class LoG:
             self.optimizer.set_numpy(moments_np, cap)
         self._refresh_device_caches()
 
-    def update_init_stage(self, scale=1):
-        """Stage-0 densify: remove by weight/size, split by 2D radius or grad
-        (LoG/model/level_of_gaussian.py:400-452)."""
+    # ------------------------------------------- device-resident densify
+    def _use_device_densify(self) -> bool:
+        """Device split/remove (model/densify_device.py) replaces the host
+        round trip when the model is large (the reference's CPU rebuild
+        analog costs ~110 s at 2.4M points through a remote-TPU tunnel).
+        densify_and_remove.device_densify: on|off|auto (auto: >= 512k cap)."""
+        mode = self.densify_and_remove.get("device_densify", "auto")
+        if mode in (True, "on", "true", 1):
+            return True
+        if mode in (False, "off", "false", 0):
+            return False
+        return self.capacity >= (1 << 19)
+
+    def _densify_buckets(self, n_keep, n_split, n_child):
+        from .gaussian import next_capacity
+
+        new_n = int(n_keep) + int(n_split) * n_child
+        new_cap = next_capacity(new_n)
+        s_cap = next_capacity(int(n_split), 256)
+        return new_n, new_cap, s_cap
+
+    def _apply_device_rebuild(self, params, moments, counter, new_n, new_cap):
+        self.gaussian.set_device(params, new_n, new_cap)
+        if self.optimizer is not None:
+            self.optimizer.moments = moments
+        self.counter.data = counter
+        self._bucket = None
+        self._counts_dev = None
+        self._refresh_device_caches()
+
+    def _update_init_stage_device(self, scale=1, rand_u=None):
+        from . import densify_device as dd
+
         d = self.densify_and_remove
+        cap = self.capacity
+        n = self.num_points
+        if rand_u is None:
+            key = jax.random.PRNGKey(int(self._rng.integers(1 << 31)))
+            u = jax.random.uniform(key, (2, cap))
+        else:
+            u = np.zeros((2, cap), np.float32)
+            u[:, : rand_u.shape[1]] = rand_u
+            u = jnp.asarray(u)
+        mode = d.get("init_split_method", "split_by_2d")
+        flag_split, flag_remove, reset_create, stats = dd.init_stage_flags(
+            self.gaussian.params(),
+            self.counter.data,
+            jnp.int32(n),
+            u,
+            jnp.float32(scale),
+            jnp.float32(self.gaussian.xyz_scale),
+            jnp.float32(d["init_weight_min"]),
+            jnp.float32(d["init_radius_min"]),
+            jnp.float32(d.get("init_radius_split", -1)),
+            jnp.int32(d["min_steps"]),
+            jnp.float32(d["split_grad_thres"]),
+            mode=mode,
+        )
+        n_split = int(stats["n_split"])
+        n_remove = int(stats["n_remove"])
+        print(
+            f"[LoG] device densify (init): split {n_split} remove {n_remove}"
+            f" of {n}"
+        )
+        n_keep = n - n_remove - n_split  # split implies removed (replaced)
+        n_child = 1
+        while n_child < self.splitter.N:
+            n_child *= 2
+        new_n, new_cap, s_cap = self._densify_buckets(n_keep, n_split, n_child)
+        counter_in = dict(self.counter.data)
+        counter_in["create_steps"] = jnp.where(
+            reset_create, 0, counter_in["create_steps"]
+        )
+        params, moments, counter, nk, nc = dd.rebuild_split_remove(
+            self.gaussian.params(),
+            self.optimizer.moments if self.optimizer else
+            {"exp_avg": {}, "exp_avg_sq": {}},
+            counter_in,
+            flag_split,
+            flag_remove,
+            jnp.int32(n),
+            new_cap=new_cap,
+            s_cap=s_cap,
+            n_child=self.splitter.N,
+            remove_split=True,
+            keys=tuple(self.gaussian.keys),
+            scaling_decay=jnp.float32(d.get("scaling_decay", 0.9)),
+            radius3d_max_fill=float(0.2 * self.gaussian.xyz_scale),
+        )
+        # scale clamp into [radius3d_min, radius3d_max] (clamp_scale_host)
+        smin = jnp.log(jnp.maximum(counter["radius3d_min"], 1e-12))[:, None]
+        smax = jnp.log(jnp.maximum(counter["radius3d_max"], 1e-12))[:, None]
+        params = dict(params)
+        params["scaling"] = jnp.clip(params["scaling"], smin, smax)
+        self._apply_device_rebuild(params, moments, counter, new_n, new_cap)
+        print(f"[LoG] device densify (init): {n} -> {new_n} points")
+
+    def _update_depth_stage_device(self, global_iteration):
+        from . import densify_device as dd
+
+        d = self.densify_and_remove
+        n = self.num_points
+        if self._tree_dev is None:
+            self._refresh_device_caches()
+        flag_split_d, flag_remove_d, stats = dd.depth_stage_flags(
+            self.gaussian.params(),
+            self.counter.data,
+            self._tree_dev,
+            jnp.int32(n),
+            jnp.int32(self.current_depth),
+            jnp.int32(d["min_steps_split"]),
+            jnp.float32(d["split_grad_thres"]),
+            jnp.int32(d["radius2d_thres"]),
+            jnp.float32(d["remove_weights_thres"]),
+            jnp.int32(d["max_split_points"]),
+            sort_method=d.get("sort_method", "radii"),
+        )
+        log_prefix = f"[LoG] {global_iteration:06d}"
+        print(
+            f"{log_prefix} device densify (depth): split "
+            f"{int(stats['n_split'])} remove {int(stats['n_remove'])}"
+        )
+        # tree structural update stays on host: fetch the POLICY flags
+        # (bool, ~cap bytes), apply the tree guards, re-upload the EFFECTIVE
+        # flags for the array rebuild
+        flag_split = np.asarray(flag_split_d)[:n]
+        flag_remove = np.asarray(flag_remove_d)[:n]
+        flag_split, flag_remove = self.tree.split_and_remove(
+            flag_split, flag_remove
+        )
+        n_split = int(flag_split.sum())
+        n_remove = int(flag_remove.sum())
+        n_child = 1
+        while n_child < self.splitter.N:
+            n_child *= 2
+        n_keep = n - n_remove
+        new_n, new_cap, s_cap = self._densify_buckets(n_keep, n_split, n_child)
+
+        def pad_flags(f):
+            out = np.zeros((self.capacity,), bool)
+            out[:n] = f
+            return jnp.asarray(out)
+
+        params, moments, counter, nk, nc = dd.rebuild_split_remove(
+            self.gaussian.params(),
+            self.optimizer.moments if self.optimizer else
+            {"exp_avg": {}, "exp_avg_sq": {}},
+            dict(self.counter.data),
+            pad_flags(flag_split),
+            pad_flags(flag_remove),
+            jnp.int32(n),
+            new_cap=new_cap,
+            s_cap=s_cap,
+            n_child=self.splitter.N,
+            remove_split=False,
+            keys=tuple(self.gaussian.keys),
+            scaling_decay=jnp.float32(d.get("scaling_decay", 0.9)),
+            radius3d_max_fill=-1.0,
+        )
+        self._apply_device_rebuild(params, moments, counter, new_n, new_cap)
+        for dd_ in range(self.current_depth + 1):
+            n_at = int((self.tree.depth == dd_).sum())
+            if n_at:
+                print(f"[LoG] depth = {dd_:2d} | {n_at:10d} points")
+
+    def update_init_stage(self, scale=1, rand_u=None):
+        """Stage-0 densify: remove by weight/size, split by 2D radius or grad
+        (LoG/model/level_of_gaussian.py:400-452).
+
+        rand_u: optional (2, n) uniforms for the two random keep draws
+        (injected by tests to compare host vs device densify paths)."""
+        d = self.densify_and_remove
+        if self._use_device_densify():
+            return self._update_init_stage_device(scale=scale, rand_u=rand_u)
         arrays, cnt, moments = self._pull_host()
+        if rand_u is None:
+            rand_u = self._rng.random((2, arrays["xyz"].shape[0]))
         weights_max = cnt["weights_max"]
         opacity = _sigmoid(arrays["opacity"][:, 0])
         flag_remove_weight = weights_max < d["init_weight_min"]
@@ -659,10 +906,7 @@ class LoG:
             f"[LoG] {int(flag_remove_small.sum()):10d} points with radius < "
             f"{d['init_radius_min']:.2f}"
         )
-        rng = self._rng
-        flag_remove_small = flag_remove_small & (
-            rng.random(weights_max.shape[0]) > 0.5
-        )
+        flag_remove_small = flag_remove_small & (rand_u[0] > 0.5)
         flag_remove = flag_remove_small | flag_remove_weight | flag_nonmax
         radii_max = radii_max_max.astype(np.float64)
         flag_activation = (cnt["create_steps"] > d["min_steps"]) & (radii_max > 0)
@@ -690,7 +934,7 @@ class LoG:
             flag_split = radius_max3 > self.gaussian.xyz_scale * 0.1
             flag_remove2d = radius_max3 < self.gaussian.xyz_scale * 0.005
             flag_remove2d = flag_activation & flag_remove2d
-            flag_rand = rng.random(radius_max3.shape[0]) > 0.5
+            flag_rand = rand_u[1] > 0.5
             flag_remove = (flag_remove2d & flag_rand) | flag_remove
             cnt["create_steps"][flag_remove2d & (~flag_rand)] = 0
             flag_split = flag_split & (~flag_remove)
@@ -732,6 +976,8 @@ class LoG:
         """Tree densify: split leaf parents by grad AND radius thresholds,
         cap top-K, remove low-weight children
         (LoG/model/level_of_gaussian.py:454-525)."""
+        if self._use_device_densify():
+            return self._update_depth_stage_device(global_iteration)
         d = self.densify_and_remove
         log_prefix = f"[LoG] {global_iteration:06d}"
         arrays, cnt, moments = self._pull_host()

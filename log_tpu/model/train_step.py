@@ -519,7 +519,7 @@ def fused_prepare_render(
     executable — zero per-frame host syncs (the demo/viewer/bench hot path;
     reference timing loop: /root/reference/apps/train.py:41-83). k_visible
     is a static cut budget; overflow truncates the cut for that frame.
-    Returns (render (3,H,W), counts (2,))."""
+    Returns (render (3,H,W), alpha (H,W), counts (2,))."""
     keep_leaf, keep_node, counts = _prepare_core(
         params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
         current_depth, image_height, image_width, stage_has_tree, num_levels,
@@ -575,10 +575,13 @@ def fused_prepare_render(
     if backend == "tiled":
         from ..ops.rasterize_tiled import rasterize_tiled
 
-        out = rasterize_tiled(**kwargs, max_pairs=max_pairs, with_stats=False)
+        out = rasterize_tiled(
+            **kwargs, max_pairs=max_pairs, with_stats=False,
+            tight_radius=True,
+        )
     else:
         out = rasterize_ref.rasterize(**kwargs)
-    return out["render"], counts
+    return out["render"], out["alpha"], counts
 
 
 @partial(
@@ -688,8 +691,12 @@ def prepare_visibility(
 
         check = rasterize_tiled(
             # "weights": the cull only needs point_weight — skip the
-            # per-pixel argmax bookkeeping of full stats mode
-            **check_kwargs, max_pairs=max_pairs, with_stats="weights"
+            # per-pixel argmax bookkeeping of full stats mode.
+            # tight_radius: the 1e-8 weight cull only drops invisible
+            # points; truncating rects at the 1/255 contribution contour
+            # culls the same set while shrinking the pair workload
+            **check_kwargs, max_pairs=max_pairs, with_stats="weights",
+            tight_radius=True,
         )
     else:
         check = rasterize_ref.rasterize(**check_kwargs, chunk=64)

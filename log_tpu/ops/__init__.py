@@ -24,11 +24,14 @@ def pick_backend(num_points: int | None = None) -> str:
     return "reference"
 
 
-def pick_max_pairs(k_visible: int) -> int:
-    """Static pair capacity for a visible-set bucket (~8 tiles/gaussian
-    headroom, floor 64k, cap 4M)."""
+def pick_max_pairs(k_visible: int, per_point: int = 8) -> int:
+    """Static pair capacity for a visible-set bucket (~per_point
+    tiles/gaussian headroom, floor 64k, cap 4M). Quantized in 1.5x steps —
+    the binning sorts scale with this budget, so a pow2-only ladder wastes
+    up to 33% sort time."""
     cap = 1 << 16
-    need = k_visible * 8
+    need = k_visible * per_point
     while cap < need and cap < (1 << 22):
-        cap <<= 1
-    return cap
+        nxt = cap + cap // 2
+        cap = nxt if nxt >= need else cap * 2
+    return min(cap, 1 << 22)

@@ -59,6 +59,7 @@ def project_gaussians(
     use_filter: bool = True,
     means2d_offset: jax.Array | None = None,
     active_mask: jax.Array | None = None,
+    tight_radius: bool = False,
 ) -> Splats:
     """Project activated Gaussian parameters to screen-space splats.
 
@@ -101,13 +102,21 @@ def project_gaussians(
 
     icxx, icxy, icyy, det = gm.inverse_cov2d(ucxx, ucxy, ucyy)
     conic = jnp.stack([icxx, icxy, icyy], axis=-1)
-    radius = jnp.ceil(gm.cov2d_radius(ucxx, ucxy, ucyy))
+    radius = gm.cov2d_radius(ucxx, ucxy, ucyy)
+    op = opacity * comp
+    if tight_radius:
+        # opacity-aware extent: contribution alpha*exp(-d^2/2) falls below
+        # 1/255 (the kernel's ALPHA_MIN cutoff) at d = sqrt(2 ln(255 a)) —
+        # the fixed 3-sigma rect overcovers low-opacity splats, and pair
+        # count (the sort-bound binning cost) scales with rect area
+        lim = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * op), 0.0))
+        radius = radius * jnp.minimum(lim * (1.0 / 3.0), 1.0)
+    radius = jnp.ceil(radius)
 
     valid = (depth > NEAR_Z) & (det > 0.0)
     if active_mask is not None:
         valid = valid & active_mask
     radius = jnp.where(valid, radius, 0.0)
-    op = opacity * comp
     op = jnp.where(valid, op, 0.0)
     return Splats(
         pix_xy=pix_xy,

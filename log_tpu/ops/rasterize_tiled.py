@@ -37,6 +37,7 @@ stage contains NO general gather or scatter on the pair axis:
 from __future__ import annotations
 
 import functools
+import os
 from functools import partial
 
 import jax
@@ -46,9 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .projection import ALPHA_MAX, ALPHA_MIN, T_EPS, project_gaussians
 
-# Tile geometry: (8, 128) pixels — exactly one f32 VPU register tile, and the
-# minimum legal Mosaic output block.
-TILE_H = 8
+# Tile geometry: (TILE_H, 128) pixels. 8 rows = one f32 VPU register tile
+# (the minimum legal Mosaic output block); TALLER tiles cut the pair count
+# (pairs ~ (2r + TILE_H)/TILE_H per column span) at the cost of more pixel
+# lanes per compositing step — profitable when binning (sort-bound)
+# dominates the kernel (compute-bound). LOG_TPU_TILE_H overrides.
+TILE_H = int(os.environ.get("LOG_TPU_TILE_H", "8"))
 TILE_W = 128
 TILE_PIX = TILE_H * TILE_W  # 1024 pixel lanes per tile
 # PAIR_CHUNK equals the 128-lane HBM tiling; chunk DMAs start at
@@ -193,23 +197,28 @@ def _piecewise_expand_sort(values, offsets, length):
     deltas = jnp.concatenate(
         [values[:, :1], values[:, 1:] - values[:, :-1]], axis=1
     )
-    # reals sort immediately BEFORE the filler of the same column, so the
-    # running cumsum at each filler includes every delta at offsets <= j;
-    # out-of-range runs (offset clamped to A) land beyond every filler = drop
-    key_real = jnp.minimum(offsets, A).astype(jnp.int32) * 2
-    key_fill = jnp.arange(A, dtype=jnp.int32) * 2 + 1
+    # reals sort immediately BEFORE the filler of the same column (even vs
+    # odd keys), so the running cumsum at each filler includes every delta
+    # at offsets <= j; out-of-range runs (offset clamped to A) land beyond
+    # every filler = drop. Stability is NOT needed: ties only occur among
+    # reals of the same column, whose deltas are summed (commutative) before
+    # any filler reads the running total — and a stable lax.sort costs ~10x
+    # an unstable one on TPU (measured 82 ms vs 8 ms at 5M rows).
+    key_real = jnp.minimum(offsets, A).astype(jnp.uint32) * 2
+    key_fill = jnp.arange(A, dtype=jnp.uint32) * 2 + 1
     keys = jnp.concatenate([key_real, key_fill])
     merged = jnp.concatenate(
         [deltas, jnp.zeros((R, A), values.dtype)], axis=1
     )
     ops = (keys,) + tuple(merged[r] for r in range(R))
-    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+    sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
     k_s = sorted_ops[0]
     run = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=0), axis=1)
     # second sort brings fillers to the front in column order
     is_fill = (k_s & 1) == 1
     key2 = jnp.where(
-        is_fill, k_s >> 1, A + jnp.arange(P + A, dtype=jnp.int32)
+        is_fill, k_s >> 1,
+        jnp.uint32(A) + jnp.arange(P + A, dtype=jnp.uint32),
     )
     ops2 = (key2,) + tuple(run[r] for r in range(R))
     sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
@@ -253,14 +262,17 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
     total_c = jnp.minimum(total, A)
     offsets_c = jnp.minimum(offsets, A)  # overflow runs scatter out of range
 
-    # ONE piecewise expansion for all 15 rows (10 splat-value rows + 5
-    # integer geometry rows carried exactly in f32 — all magnitudes < 2^24)
+    # ONE piecewise expansion for 13 rows (10 splat-value rows + 3 integer
+    # geometry rows carried exactly in f32 — all magnitudes < 2^24). The
+    # rect geometry (x0, y0, w) packs into one row: x0 + 32*(y0 + 512*w)
+    # needs x0,w < 32 and y0 < 512 — holds through 4K at TILE_W=128/TILE_H>=8
+    assert tiles_x <= 32 and tiles_y <= 512, (tiles_x, tiles_y)
+    w_eff = jnp.maximum(rect_w, 1)
+    geo_packed = (x0 + 32 * (y0 + 512 * w_eff)).astype(jnp.float32)
     int_rows_f = jnp.stack(
         [
             offsets.astype(jnp.float32),
-            x0.astype(jnp.float32),
-            y0.astype(jnp.float32),
-            jnp.maximum(rect_w, 1).astype(jnp.float32),
+            geo_packed,
             jnp.arange(P, dtype=jnp.float32),
         ],
         axis=0,
@@ -287,10 +299,11 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
     )
     val_pc = all_pc[:N_VAL_ROWS]
     off_pc = all_pc[N_VAL_ROWS + 0].astype(jnp.int32)
-    x0_pc = all_pc[N_VAL_ROWS + 1].astype(jnp.int32)
-    y0_pc = all_pc[N_VAL_ROWS + 2].astype(jnp.int32)
-    w_pc = jnp.maximum(all_pc[N_VAL_ROWS + 3].astype(jnp.int32), 1)
-    gid_pc = all_pc[N_VAL_ROWS + 4].astype(jnp.int32)
+    geo_pc = all_pc[N_VAL_ROWS + 1].astype(jnp.int32)
+    x0_pc = geo_pc & 31
+    y0_pc = (geo_pc >> 5) & 511
+    w_pc = jnp.maximum(geo_pc >> 14, 1)
+    gid_pc = all_pc[N_VAL_ROWS + 2].astype(jnp.int32)
 
     j = jnp.arange(A, dtype=jnp.int32)
     k = j - off_pc
@@ -856,6 +869,7 @@ _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
         "max_pairs",
         "with_stats",
         "interpret",
+        "tight_radius",
     ),
 )
 def rasterize_tiled(
@@ -880,6 +894,7 @@ def rasterize_tiled(
     max_pairs: int = 1 << 20,
     with_stats: bool = True,
     interpret: bool | None = None,
+    tight_radius: bool = False,
 ):
     """Same output contract as rasterize_ref.rasterize."""
     if interpret is None:
@@ -888,7 +903,7 @@ def rasterize_tiled(
         xyz, scaling, rotation, opacity, world_view, full_proj,
         focal_x, focal_y, tan_fovx, tan_fovy, image_height, image_width,
         mode=mode, use_filter=use_filter, means2d_offset=means2d_offset,
-        active_mask=active_mask,
+        active_mask=active_mask, tight_radius=tight_radius,
     )
     pairs = build_pairs(splats, colors, image_height, image_width, max_pairs)
     color, tfinal, pid_pair, pwp, pair_w = _raster_core(

@@ -194,13 +194,25 @@ class NaiveRendererAndLoss(BaseRender):
         return out
 
     def vis(self, batch, model, background=None):
-        """Batch inference (LoG/render/renderer.py:225-251)."""
+        """Batch inference (LoG/render/renderer.py:225-251).
+
+        The rgb path goes through the model's fused prepare+render
+        executable (one jit, no per-frame host sync); depth/aux renders keep
+        the two-phase path."""
         preds = defaultdict(list)
         B = _batch_size(batch)
+        use_fused = (
+            not self.render_depth
+            and not getattr(model, "training", False)
+            and hasattr(model, "render_fused")
+        )
         for bn in range(B):
             camera, bg = self.prepare_camera(batch, bn, background, is_train=False)
-            model.prepare_from_camera(camera)
-            out = self.render_one(model, camera, bg)
+            if use_fused:
+                out = model.render_fused(camera, bg)
+            else:
+                model.prepare_from_camera(camera)
+                out = self.render_one(model, camera, bg)
             # quantize on device and transfer uint8 (remote runtimes move
             # bytes slowly; frames end up in 8-bit files anyway)
             ren8 = (jnp.clip(out["render"], 0, 1) * 255).astype(jnp.uint8)

@@ -482,6 +482,63 @@ def main():
 
         time_phase("check render A=1<<19", check_sized, lambda o: o)
 
+    if "binning2" in PHASES:
+        P2 = k_vis  # run-count scale (the cut)
+        A2 = 1 << 22
+        rngl = np.random.default_rng(3)
+        counts_sim = rngl.integers(0, 10, P2).astype(np.int32)
+        offs_np = np.cumsum(counts_sim) - counts_sim
+        offs = jnp.asarray(np.minimum(offs_np, A2).astype(np.int32))
+        vals15 = jnp.asarray(rngl.random((15, P2), np.float32))
+        vals8 = vals15[:8]
+
+        from log_tpu.ops.rasterize_tiled import _piecewise_expand_sort
+
+        @jax.jit
+        def exp_sort15(cam):
+            return _piecewise_expand_sort(vals15, offs, A2)
+
+        time_phase(f"expand SORT 15rows P={P2} A={A2}", exp_sort15,
+                   lambda o: o)
+
+        @jax.jit
+        def exp_sort8(cam):
+            return _piecewise_expand_sort(vals8, offs, A2)
+
+        time_phase(f"expand SORT 8rows P={P2} A={A2}", exp_sort8,
+                   lambda o: o)
+
+        @jax.jit
+        def exp_scatter15(cam):
+            deltas = jnp.concatenate(
+                [vals15[:, :1], vals15[:, 1:] - vals15[:, :-1]], axis=1
+            )
+            base = jnp.zeros((15, A2), jnp.float32)
+            seeded = base.at[:, offs].add(deltas, mode="drop")
+            return jnp.cumsum(seeded, axis=1)
+
+        time_phase(f"expand SCATTER 15rows P={P2} A={A2}", exp_scatter15,
+                   lambda o: o)
+
+        keys_sim = jnp.asarray(
+            rngl.integers(0, 1 << 20, A2).astype(np.uint32)
+        )
+        pay11 = jnp.asarray(rngl.random((11, A2), np.float32))
+
+        @jax.jit
+        def pair_sort11(cam):
+            ops = (keys_sim,) + tuple(pay11[r] for r in range(11))
+            return jax.lax.sort(ops, num_keys=1, is_stable=False)[1]
+
+        time_phase(f"pair sort 11 payloads A={A2}", pair_sort11, lambda o: o)
+
+        @jax.jit
+        def pair_sort6(cam):
+            ops = (keys_sim,) + tuple(pay11[r] for r in range(6))
+            return jax.lax.sort(ops, num_keys=1, is_stable=False)[1]
+
+        time_phase(f"pair sort 6 payloads A={A2}", pair_sort6, lambda o: o)
+
     if "group2" in PHASES:
         keep0 = kl | kn
         G = 128
