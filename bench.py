@@ -7,6 +7,10 @@ Pallas render, all fused into one executable with zero per-frame host syncs
 Target semantics: /root/reference/apps/train.py:41-83 timed demo loop;
 BASELINE.md bar: >= 30 FPS @ 1080p on urban-scale checkpoints.
 
+The scene is generated ON DEVICE (log_tpu.utils.synth_tree) — the axon
+tunnel's host->device upload can degrade to ~100 KB/s, so nothing larger
+than a camera ever crosses it.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 All syncs are scalar fetches (the axon tunnel's bulk D2H path must never
 appear on the timed loop).
@@ -24,77 +28,6 @@ N_ROOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
 H, W = 1088, 1920
 FRAMES = 30
 MIN_RES_PIXEL = 3.0
-
-
-def build_scene(n_roots, rng):
-    """Urban-style tree: roots over a large extent, 50% split into 4
-    children, 30% of those split again (3.2M points at 600k roots)."""
-    ext = 30.0
-    xyz_r = np.stack([
-        rng.uniform(-ext, ext, n_roots),
-        rng.uniform(-ext, ext, n_roots),
-        rng.uniform(0.0, 2.0, n_roots),
-    ], axis=1).astype(np.float32)
-    scal_r = rng.uniform(0.08, 0.25, (n_roots, 1)).astype(np.float32)
-    scal_r = np.repeat(scal_r, 3, axis=1) * rng.uniform(
-        0.6, 1.4, (n_roots, 3)
-    ).astype(np.float32)
-
-    def make_children(xyz_p, scal_p, parent_rows, n_child=4):
-        P = parent_rows.shape[0]
-        off = rng.normal(0.0, 1.0, (P, n_child, 3)).astype(np.float32)
-        c_xyz = (
-            xyz_p[parent_rows][:, None]
-            + off * scal_p[parent_rows][:, None] * 0.5
-        )
-        c_scal = np.repeat(
-            scal_p[parent_rows][:, None] * 0.55, n_child, axis=1
-        )
-        return c_xyz.reshape(-1, 3), c_scal.reshape(-1, 3)
-
-    split1 = np.flatnonzero(rng.random(n_roots) < 0.5).astype(np.int32)
-    c1_xyz, c1_scal = make_children(xyz_r, scal_r, split1)
-    n1 = c1_xyz.shape[0]
-    split2_local = np.flatnonzero(rng.random(n1) < 0.3).astype(np.int32)
-    c2_xyz, c2_scal = make_children(c1_xyz, c1_scal, split2_local)
-    n2 = c2_xyz.shape[0]
-    n = n_roots + n1 + n2
-
-    xyz = np.concatenate([xyz_r, c1_xyz, c2_xyz])
-    scal = np.concatenate([scal_r, c1_scal, c2_scal])
-    colors = rng.random((n, 3)).astype(np.float32)
-    q = rng.normal(0, 1, (n, 4)).astype(np.float32)
-    rot = q / np.linalg.norm(q, axis=1, keepdims=True)
-    opac = rng.uniform(0.3, 0.95, (n, 1)).astype(np.float32)
-
-    depth = np.zeros(n, np.int32)
-    depth[n_roots:n_roots + n1] = 1
-    depth[n_roots + n1:] = 2
-    index_parent = np.full(n, -1, np.int32)
-    index_parent[n_roots:n_roots + n1] = np.repeat(split1, 4)
-    index_parent[n_roots + n1:] = np.repeat(split2_local + n_roots, 4)
-    node_index = np.full(n, -1, np.int32)
-    node_index[split1] = np.arange(split1.shape[0], dtype=np.int32)
-    node_index[split2_local + n_roots] = split1.shape[0] + np.arange(
-        split2_local.shape[0], dtype=np.int32
-    )
-    root_id = np.arange(n, dtype=np.int32)
-    root_id[n_roots:n_roots + n1] = index_parent[n_roots:n_roots + n1]
-    root_id[n_roots + n1:] = root_id[index_parent[n_roots + n1:]]
-
-    params = {
-        "xyz": xyz,
-        "colors": ((colors - 0.5) / 0.28209479177387814).astype(np.float32),
-        "scaling": np.log(scal).astype(np.float32),
-        "opacity": np.log(opac / (1 - opac)).astype(np.float32),
-        "rotation": rot,
-        "shs": np.zeros((n, 3, 3), np.float32),
-    }
-    tree = {
-        "node_index": node_index, "index_parent": index_parent,
-        "depth": depth, "root_id": root_id,
-    }
-    return params, tree, n
 
 
 def make_cam(theta, height=18.0, radius=22.0):
@@ -117,35 +50,17 @@ def main():
     import jax.numpy as jnp
 
     from log_tpu.dataset.base import prepare_camera
-    from log_tpu.model.gaussian import next_capacity, pad_rows
+    from log_tpu.model.gaussian import next_capacity
     from log_tpu.model.train_step import fused_prepare_render
     from log_tpu.ops import pick_max_pairs
     from log_tpu.render.renderer import camera_device
+    from log_tpu.utils.synth_tree import padded_model_device, tree_sizes
 
-    rng = np.random.default_rng(0)
-    params_np, tree_np, n = build_scene(N_ROOTS, rng)
+    _, _, n = tree_sizes(N_ROOTS)
     cap = next_capacity(n)
-    params = {
-        k: jax.device_put(jnp.asarray(pad_rows(v, cap)))
-        for k, v in params_np.items()
-    }
-    parent = np.arange(cap, dtype=np.int32)
-    nzm = tree_np["index_parent"] >= 0
-    parent[:n][nzm] = tree_np["index_parent"][nzm]
-    tree_dev = {
-        "node_index": jnp.asarray(pad_rows(tree_np["node_index"], cap, -1)),
-        "index_parent": jnp.asarray(
-            pad_rows(tree_np["index_parent"], cap, -1)
-        ),
-        "depth": jnp.asarray(pad_rows(tree_np["depth"], cap)),
-        "root_id": jnp.asarray(pad_rows(tree_np["root_id"], cap)),
-    }
-    pdev = jnp.asarray(parent)
-    tree_dev["parent_xyz"] = jnp.take(params["xyz"], pdev, axis=0)
-    tree_dev["parent_scaling"] = jnp.take(params["scaling"], pdev, axis=0)
-    tree_dev["parent_rotation"] = jnp.take(params["rotation"], pdev, axis=0)
-    leaf_opt = (tree_np["node_index"] == -1) & (tree_np["depth"] > 0)
-    is_leaf_opt = jnp.asarray(pad_rows(leaf_opt, cap, False))
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(0), N_ROOTS, cap
+    )
     n_roots_bucket = min(next_capacity(N_ROOTS), cap)
 
     pcams = [

@@ -61,6 +61,50 @@ def _gather_slices(params: dict, index: jax.Array, lane_valid: jax.Array) -> dic
     return out
 
 
+def _compact_slices_sort(params: dict, keep: jax.Array, k: int):
+    """Compaction-by-sort: kept rows to the front, in index order.
+
+    Replaces nonzero + row gather on the TPU hot path: sort cost is FLAT
+    in payload count (measured ~9 ms at 4.2M rows for 1..27 f32 payloads)
+    while the row gather alone costs ~91 ms at 786k x 27 cols and
+    nonzero ~21 ms at 4.2M (XLA TPU serializes gathers; sorts are fast —
+    see ARCHITECTURE.md cost model). One unstable variadic sort with key
+    (kept ? pos : cap + pos) carries every param column as a payload; the
+    first k lanes are then exactly the nonzero+gather result.
+
+    Returns (slices, index, lane_valid) — bit-identical layout to
+    jnp.nonzero(size=k) + _gather_slices (invalid lanes zeroed, rotation
+    = unit quaternion, index = cap so downstream scatters drop).
+    """
+    cap = keep.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    skey = jnp.where(keep, pos, jnp.uint32(cap) + pos)
+    cols = []
+    layout = []  # (name, ncol)
+    for name, v in params.items():
+        v2 = v.reshape(cap, -1)
+        layout.append((name, v2.shape[1], v.shape[1:]))
+        for c in range(v2.shape[1]):
+            cols.append(v2[:, c])
+    out = jax.lax.sort((skey,) + tuple(cols), num_keys=1, is_stable=False)
+    key_s = out[0][:k]
+    lane_valid = key_s < jnp.uint32(cap)
+    index = jnp.where(lane_valid, key_s, jnp.uint32(cap)).astype(jnp.int32)
+    slices = {}
+    i = 1
+    for name, ncol, tail_shape in layout:
+        block = jnp.stack([out[i + c][:k] for c in range(ncol)], axis=1)
+        i += ncol
+        if name == "rotation":
+            block = jnp.where(
+                lane_valid[:, None], block, jnp.asarray(UNIT_QUAT)
+            )
+        else:
+            block = jnp.where(lane_valid[:, None], block, 0.0)
+        slices[name] = block.reshape((k,) + tuple(tail_shape))
+    return slices, index, lane_valid
+
+
 def _activate_and_rasterize(slices, offset, cam, background, lane_valid, cfg):
     """Param-space slice -> physical -> rasterize. Differentiable."""
     scaling = jnp.exp(slices["scaling"])
@@ -527,9 +571,12 @@ def fused_prepare_render(
     )
     keep = keep_leaf | keep_node
     cap = params["xyz"].shape[0]
-    index = jnp.nonzero(keep, size=k_visible, fill_value=cap)[0]
-    lane_valid = index < cap
-    slices = _gather_slices(params, index, lane_valid)
+    need = ["xyz", "colors", "scaling", "opacity", "rotation"]
+    if sh_degree > 0 and "shs" in params:
+        need.append("shs")
+    slices, index, lane_valid = _compact_slices_sort(
+        {kk: params[kk] for kk in need}, keep, k_visible
+    )
     cfg = StepConfig(
         image_height=image_height,
         image_width=image_width,
@@ -577,7 +624,7 @@ def fused_prepare_render(
 
         out = rasterize_tiled(
             **kwargs, max_pairs=max_pairs, with_stats=False,
-            tight_radius=True,
+            tight_radius=True, runs_tail_only=True,
         )
     else:
         out = rasterize_ref.rasterize(**kwargs)

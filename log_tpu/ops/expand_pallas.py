@@ -1,0 +1,182 @@
+"""Pallas piecewise-constant expansion: run-space -> pair-space on the MXU.
+
+The binning stage expands per-gaussian rows (13 x P) to pair space
+(13 x A) as piecewise-constant sequences. The jnp constructions pay either
+a serialized per-index scatter (~47 ns x P) or two variadic sorts of
+(P + A) rows; at urban scale (P ~ 800k, A ~ 4M) both are tens to hundreds
+of ms — far above the memory bound. This kernel gets the expansion to
+~memory speed with an exact one-hot matmul:
+
+* The pair axis is processed in chunks of CHUNK=512 columns. Runs are
+  DISJOINT intervals [offs[i], offs[i+1]) that partition [0, total), so at
+  most 513 runs intersect a chunk; with the window start floor-aligned to
+  128 lanes, a static window of W=768 runs always covers every
+  intersecting run (the caller contract below makes this a hard bound).
+* Per chunk, coverage is two broadcast comparisons:
+      C[j, i]    = offs[w0+i]   <= j
+      Cnext[j,i] = offs[w0+i+1] <= j
+      cov = C - Cnext   (exactly the one-hot row-selector, f32 0/1)
+  and the expansion is one MXU matmul vals_w (16, W) @ cov^T -> (16, 512).
+  Each output column has EXACTLY ONE covering run (disjointness), so the
+  matmul sum has a single nonzero term — the result is bit-exact f32.
+* The window's 16 input rows (10 splat values + geo + gid + offs +
+  offs_next, f32) arrive in ONE double-buffered DMA from HBM; Mosaic
+  pipelines the output blocks.
+
+Caller contract (asserted in tests, guaranteed by `build_pairs` under
+`runs_tail_only`): offs ascending; every run before `n_valid` has count
+>= 1; all later runs have offs = A (zero-length tail); offs values are
+exact in f32 (A < 2^24). Violating the interior-zero-run bound silently
+corrupts output — this path is only reachable from callers that compact
+their slices (prefix-valid lanes).
+
+The VJP is the fast segment reduction: inclusive cumsum over the pair
+axis + boundary-column gathers (exactly the transpose the jnp
+scatter+cumsum construction produces via autodiff).
+
+Reference semantics being replaced: the CUDA duplicateWithKeys pass of
+diff-gaussian-rasterization (SURVEY.md §2.9) — there a per-gaussian
+atomic append; here a gather/scatter-free expansion.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 512  # pair columns per grid step
+W = 768  # run window (>= 513 + 127 alignment slack; multiple of 128)
+N_IN_ROWS = 16  # 13 caller rows + offs + offs_next + 1 spare
+
+
+def _expand_kernel(lo_ref, packed_hbm, out_ref, buf, sems):
+    c = pl.program_id(0)
+    n_chunks = pl.num_programs(0)
+
+    def get_dma(slot, chunk):
+        w0 = pl.multiple_of(
+            (lo_ref[chunk] // 128) * 128, 128
+        )
+        return pltpu.make_async_copy(
+            packed_hbm.at[:, pl.ds(w0, W)], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(c == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(c + 1 < n_chunks)
+    def _():
+        get_dma((c + 1) % 2, c + 1).start()
+
+    get_dma(c % 2, c).wait()
+    d = buf[c % 2]  # (16, W)
+
+    # pair-column ids of this chunk, exact in f32 (A < 2^24)
+    gj = (
+        jnp.float32(c * CHUNK)
+        + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, 1), 0)
+    )
+    offs_w = d[ROW_OFFS, :][None, :]  # (1, W)
+    next_w = d[ROW_NEXT, :][None, :]
+    cov = (offs_w <= gj).astype(jnp.float32) - (next_w <= gj).astype(
+        jnp.float32
+    )  # (CHUNK, W), one-hot rows
+    out_ref[:, :] = jax.lax.dot_general(
+        d, cov, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+ROW_OFFS = 13  # input row carrying run starts
+ROW_NEXT = 14  # input row carrying next-run starts
+
+
+def _expand_fwd_impl(vals, offs, length, interpret):
+    R, P = vals.shape
+    assert R <= ROW_OFFS, f"too many value rows for the packed layout: {R}"
+    A = length
+    assert A % CHUNK == 0, A
+    assert A < (1 << 24), "pair index must stay exact in f32"
+    n_chunks = A // CHUNK
+
+    offs_f = offs.astype(jnp.float32)
+    next_f = jnp.concatenate(
+        [offs_f[1:], jnp.full((1,), float(A), jnp.float32)]
+    )
+    pad_rows = jnp.zeros((ROW_OFFS - R, P), jnp.float32)
+    packed = jnp.concatenate(
+        [
+            vals,
+            pad_rows,
+            offs_f[None, :],
+            next_f[None, :],
+            jnp.zeros((N_IN_ROWS - ROW_NEXT - 1, P), jnp.float32),
+        ],
+        axis=0,
+    )
+    # window slack: DMAs read [w0, w0+W); pad the run axis with
+    # beyond-every-chunk sentinels so tail windows stay in bounds
+    packed = jnp.pad(packed, ((0, 0), (0, W)))
+    packed = packed.at[ROW_OFFS, P:].set(float(A))
+    packed = packed.at[ROW_NEXT, P:].set(float(A))
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
+    # first run whose interval can reach this chunk: runs with
+    # next-start <= chunk start lie entirely before it
+    lo = jnp.searchsorted(
+        next_f, starts.astype(jnp.float32), side="right"
+    ).astype(jnp.int32)
+    # clamp so the aligned window [w0, w0+W) stays inside P+W columns
+    lo = jnp.minimum(lo, P)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (N_IN_ROWS, CHUNK), lambda c, *_: (0, c)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_IN_ROWS, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _expand_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N_IN_ROWS, A), jnp.float32),
+        interpret=interpret,
+    )(lo, packed)
+    return out[:R]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def piecewise_expand_pallas(vals, offs, length, interpret=False):
+    """(R, P) runs -> (R, length) piecewise-constant rows, MXU one-hot.
+
+    Requires the `runs_tail_only` contract (see module docstring). The
+    expanded offs row is available to callers as vals row — include offs
+    among the value rows if needed downstream.
+    """
+    return _expand_fwd_impl(vals, offs, length, interpret)
+
+
+def _pe_fwd(vals, offs, length, interpret):
+    out = _expand_fwd_impl(vals, offs, length, interpret)
+    return out, (offs, jnp.concatenate([offs[1:], offs[-1:] * 0 + length]))
+
+
+def _pe_bwd(length, interpret, residuals, g):
+    offs, nxt = residuals
+    # segment reduction: d_vals[:, i] = sum_{j in [offs_i, nxt_i)} g[:, j]
+    s = jnp.cumsum(g, axis=1)
+    s = jnp.concatenate([jnp.zeros_like(s[:, :1]), s], axis=1)
+    lo = jnp.take(s, jnp.minimum(offs, length), axis=1)
+    hi = jnp.take(s, jnp.minimum(nxt, length), axis=1)
+    return (hi - lo, None)
+
+
+piecewise_expand_pallas.defvjp(_pe_fwd, _pe_bwd)

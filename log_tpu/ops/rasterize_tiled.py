@@ -225,11 +225,20 @@ def _piecewise_expand_sort(values, offsets, length):
     return jnp.stack(sorted2[1:], axis=0)[:, :A]
 
 
-def build_pairs(splats, colors, image_height, image_width, max_pairs):
+def build_pairs(splats, colors, image_height, image_width, max_pairs,
+                runs_tail_only=False, active_prefix=None, interpret=False):
     """Expansion + sort. Returns pair tables for the kernels.
 
     All pair-axis arrays have static length `max_pairs` (+ one spare chunk
     for tail DMA overrun).
+
+    runs_tail_only: caller guarantees `active_prefix` is a PREFIX mask
+    (compacted slices — nonzero/sort compaction yields ascending indices).
+    Every prefix lane is then forced to emit >= 1 pair (invalid lanes get a
+    sanitized zero-alpha record at tile 0), so zero-count runs exist only
+    in the tail — the contract that lets the expansion run on the Pallas
+    MXU one-hot kernel (ops/expand_pallas.py) instead of the scatter/sort
+    constructions.
     """
     P = splats.opacity.shape[0]
     # ids ride f32 rows (ROW_GID and the expansion), exact only below 2^24;
@@ -256,6 +265,21 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
     )
     rect_w = jnp.maximum(x1 - x0, 0)
     n_tiles_g = jnp.where(valid, rect_w * jnp.maximum(y1 - y0, 0), 0)
+
+    if runs_tail_only:
+        ap = (
+            active_prefix
+            if active_prefix is not None
+            else jnp.ones_like(valid)
+        )
+        # force >= 1 pair per prefix lane; sanitize the dummy records so
+        # their alpha masks to zero in the kernel (power <= 0 test fails
+        # at px = -1e4) and they land in tile 0
+        n_tiles_g = jnp.where(ap, jnp.maximum(n_tiles_g, 1), 0)
+        x0 = jnp.where(valid, x0, 0)
+        y0 = jnp.where(valid, y0, 0)
+        rect_w = jnp.where(valid, rect_w, 1)
+        px = jnp.where(valid[:, None], px, -1e4)
 
     offsets = jnp.cumsum(n_tiles_g) - n_tiles_g  # exclusive
     total = offsets[-1] + n_tiles_g[-1]
@@ -292,11 +316,17 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs):
         ],
         axis=0,
     )
-    all_pc = piecewise_expand(
-        jnp.concatenate([val_rows, jax.lax.stop_gradient(int_rows_f)], axis=0),
-        offsets_c,
-        A,
+    stack13 = jnp.concatenate(
+        [val_rows, jax.lax.stop_gradient(int_rows_f)], axis=0
     )
+    if runs_tail_only and A % 512 == 0 and A < (1 << 24):
+        from .expand_pallas import piecewise_expand_pallas
+
+        all_pc = piecewise_expand_pallas(
+            stack13, offsets_c, A, interpret=interpret
+        )
+    else:
+        all_pc = piecewise_expand(stack13, offsets_c, A)
     val_pc = all_pc[:N_VAL_ROWS]
     off_pc = all_pc[N_VAL_ROWS + 0].astype(jnp.int32)
     geo_pc = all_pc[N_VAL_ROWS + 1].astype(jnp.int32)
@@ -870,6 +900,7 @@ _raster_core.defvjp(_raster_core_fwd, _raster_core_bwd)
         "with_stats",
         "interpret",
         "tight_radius",
+        "runs_tail_only",
     ),
 )
 def rasterize_tiled(
@@ -895,8 +926,13 @@ def rasterize_tiled(
     with_stats: bool = True,
     interpret: bool | None = None,
     tight_radius: bool = False,
+    runs_tail_only: bool = False,
 ):
-    """Same output contract as rasterize_ref.rasterize."""
+    """Same output contract as rasterize_ref.rasterize.
+
+    runs_tail_only: promise that active_mask is a PREFIX mask (compacted
+    caller slices) — routes the pair expansion to the Pallas MXU kernel.
+    """
     if interpret is None:
         interpret = _interpret_default()
     splats = project_gaussians(
@@ -905,7 +941,11 @@ def rasterize_tiled(
         mode=mode, use_filter=use_filter, means2d_offset=means2d_offset,
         active_mask=active_mask, tight_radius=tight_radius,
     )
-    pairs = build_pairs(splats, colors, image_height, image_width, max_pairs)
+    pairs = build_pairs(
+        splats, colors, image_height, image_width, max_pairs,
+        runs_tail_only=runs_tail_only, active_prefix=active_mask,
+        interpret=interpret,
+    )
     color, tfinal, pid_pair, pwp, pair_w = _raster_core(
         pairs["pair_data"],
         pairs["tile_start"],

@@ -1,0 +1,162 @@
+"""On-device synthetic urban-style LoD-tree scene generator.
+
+Benchmarks and dryruns need multi-M-point tree checkpoints without shipping
+hundreds of MB through the axon tunnel (host->device upload can degrade to
+~100 KB/s), so everything here is generated ON DEVICE inside one jit from a
+PRNG key. The tree structure is strided-deterministic (every 2nd root
+splits into 4; 3 of every 10 depth-1 children split again) so all shapes
+are static; positions/scales/colors are jax.random draws, matching the
+statistics of the host-side generator this replaces.
+
+Scene shape mirrors a trained LoG urban block (reference semantics:
+LoG/model/level_of_gaussian.py tree arrays): roots over a large ground
+extent, children jittered inside the parent footprint at 0.55x scale.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+
+
+def tree_sizes(n_roots: int) -> tuple[int, int, int]:
+    """(n1, n2, n_total) for the strided split structure."""
+    n_split1 = n_roots // 2
+    n1 = n_split1 * 4
+    n_split2 = (n1 // 10) * 3
+    n2 = n_split2 * 4
+    return n1, n2, n_roots + n1 + n2
+
+
+@partial(jax.jit, static_argnums=(1,))
+def build_scene_device(key: jax.Array, n_roots: int):
+    """Returns (params, tree, n_total). All arrays length n_total, unpadded.
+
+    params: xyz/colors(SH dc)/scaling(log)/opacity(logit)/rotation/shs.
+    tree: node_index/index_parent/depth/root_id (int32).
+    """
+    n1, n2, n = tree_sizes(n_roots)
+    n_split1 = n1 // 4
+    n_split2 = n2 // 4
+    ks = jax.random.split(key, 10)
+    ext = 30.0
+
+    xyz_r = jnp.stack(
+        [
+            jax.random.uniform(ks[0], (n_roots,), minval=-ext, maxval=ext),
+            jax.random.uniform(ks[1], (n_roots,), minval=-ext, maxval=ext),
+            jax.random.uniform(ks[2], (n_roots,), minval=0.0, maxval=2.0),
+        ],
+        axis=1,
+    )
+    scal_r = jax.random.uniform(
+        ks[3], (n_roots, 1), minval=0.08, maxval=0.25
+    ) * jax.random.uniform(ks[4], (n_roots, 3), minval=0.6, maxval=1.4)
+
+    def children(xyz_p, scal_p, parent_rows, key, n_child=4):
+        p_xyz = xyz_p[parent_rows]
+        p_scal = scal_p[parent_rows]
+        off = jax.random.normal(key, (parent_rows.shape[0], n_child, 3))
+        c_xyz = p_xyz[:, None] + off * p_scal[:, None] * 0.5
+        c_scal = jnp.broadcast_to(
+            p_scal[:, None] * 0.55, (parent_rows.shape[0], n_child, 3)
+        )
+        return c_xyz.reshape(-1, 3), c_scal.reshape(-1, 3)
+
+    # every 2nd root splits
+    split1 = jnp.arange(n_split1, dtype=jnp.int32) * 2
+    c1_xyz, c1_scal = children(xyz_r, scal_r, split1, ks[5])
+    # 3 of every 10 depth-1 children split
+    m = jnp.arange(n_split2, dtype=jnp.int32)
+    split2_local = (m // 3) * 10 + (m % 3)
+    c2_xyz, c2_scal = children(c1_xyz, c1_scal, split2_local, ks[6])
+
+    xyz = jnp.concatenate([xyz_r, c1_xyz, c2_xyz])
+    scal = jnp.concatenate([scal_r, c1_scal, c2_scal])
+    colors = jax.random.uniform(ks[7], (n, 3))
+    q = jax.random.normal(ks[8], (n, 4))
+    rot = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    opac = jax.random.uniform(ks[9], (n, 1), minval=0.3, maxval=0.95)
+
+    depth = jnp.concatenate(
+        [
+            jnp.zeros(n_roots, jnp.int32),
+            jnp.ones(n1, jnp.int32),
+            jnp.full(n2, 2, jnp.int32),
+        ]
+    )
+    index_parent = jnp.concatenate(
+        [
+            jnp.full(n_roots, -1, jnp.int32),
+            jnp.repeat(split1, 4),
+            jnp.repeat(split2_local + n_roots, 4),
+        ]
+    )
+    node_index = jnp.full(n, -1, jnp.int32)
+    node_index = node_index.at[split1].set(
+        jnp.arange(n_split1, dtype=jnp.int32)
+    )
+    node_index = node_index.at[split2_local + n_roots].set(
+        n_split1 + jnp.arange(n_split2, dtype=jnp.int32)
+    )
+    root_id = jnp.arange(n, dtype=jnp.int32)
+    rid_d1 = index_parent[n_roots : n_roots + n1]
+    root_id = root_id.at[n_roots : n_roots + n1].set(rid_d1)
+    # depth-2 root = root of (depth-1) parent, which is itself a d1 row
+    par_d2 = index_parent[n_roots + n1 :]
+    root_id = root_id.at[n_roots + n1 :].set(root_id[par_d2])
+
+    params = {
+        "xyz": xyz,
+        "colors": (colors - 0.5) / SH_C0,
+        "scaling": jnp.log(scal),
+        "opacity": jnp.log(opac / (1.0 - opac)),
+        "rotation": rot,
+        "shs": jnp.zeros((n, 3, 3), jnp.float32),
+    }
+    tree = {
+        "node_index": node_index,
+        "index_parent": index_parent,
+        "depth": depth,
+        "root_id": root_id,
+    }
+    return params, tree
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def padded_model_device(key: jax.Array, n_roots: int, cap: int):
+    """build_scene_device + capacity padding + flat-cut caches, on device.
+
+    Returns (params, tree_dev, is_leaf_opt) where tree_dev carries the
+    parent-attribute cache (parent_xyz/scaling/rotation) used by the flat
+    LoD cut, padded to `cap` rows.
+    """
+    _, _, n = tree_sizes(n_roots)
+    if cap < n:
+        raise ValueError(f"cap {cap} < scene size {n}")
+    params, tree = build_scene_device(key, n_roots)
+
+    def pad(a, fill=0):
+        widths = ((0, cap - n),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, widths, constant_values=fill)
+
+    params = {k: pad(v) for k, v in params.items()}
+    tree_dev = {
+        "node_index": pad(tree["node_index"], -1),
+        "index_parent": pad(tree["index_parent"], -1),
+        "depth": pad(tree["depth"]),
+        "root_id": pad(tree["root_id"]),
+    }
+    parent = jnp.where(
+        tree_dev["index_parent"] >= 0,
+        tree_dev["index_parent"],
+        jnp.arange(cap, dtype=jnp.int32),
+    )
+    tree_dev["parent_xyz"] = jnp.take(params["xyz"], parent, axis=0)
+    tree_dev["parent_scaling"] = jnp.take(params["scaling"], parent, axis=0)
+    tree_dev["parent_rotation"] = jnp.take(params["rotation"], parent, axis=0)
+    is_leaf_opt = (tree_dev["node_index"] == -1) & (tree_dev["depth"] > 0)
+    return params, tree_dev, is_leaf_opt

@@ -236,3 +236,54 @@ def test_piecewise_expand_sort_impl_matches_scatter():
     g1 = jax.grad(lambda x: jnp.sum(scatter_impl(x) * ct))(v)
     g2 = jax.grad(lambda x: jnp.sum(sort_impl(x) * ct))(v)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-4)
+
+
+def test_runs_tail_only_matches_default():
+    """The Pallas MXU expansion path (runs_tail_only contract: prefix
+    active_mask, forced min-1-tile dummy records) must reproduce the jnp
+    expansion path — forward outputs and gradients."""
+    import jax
+
+    args = scene_and_args(n=64, seed=11)
+    n = args["xyz"].shape[0]
+    # prefix mask with an invalid tail, as compacted slices produce
+    mask = jnp.arange(n) < (n - 9)
+    kw = dict(max_pairs=4096, active_mask=mask)
+
+    base = rasterize_tiled(**args, **kw)
+    tail = rasterize_tiled(**args, **kw, runs_tail_only=True)
+    np.testing.assert_allclose(
+        np.asarray(tail["render"]), np.asarray(base["render"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tail["alpha"]), np.asarray(base["alpha"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tail["point_weight"]), np.asarray(base["point_weight"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    def loss_of(rto):
+        def loss(xyz_, colors_, opacity_):
+            out = rasterize_tiled(
+                **{**args, "xyz": xyz_, "colors": colors_,
+                   "opacity": opacity_},
+                **kw, runs_tail_only=rto,
+            )
+            return jnp.sum(out["render"] ** 2)
+        return loss
+
+    g0 = jax.grad(loss_of(False), argnums=(0, 1, 2))(
+        args["xyz"], args["colors"], args["opacity"]
+    )
+    g1 = jax.grad(loss_of(True), argnums=(0, 1, 2))(
+        args["xyz"], args["colors"], args["opacity"]
+    )
+    for name, a, b in zip(["xyz", "colors", "opacity"], g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b, a, atol=1e-3 * scale, err_msg=f"grad mismatch: {name}"
+        )
