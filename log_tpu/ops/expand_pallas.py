@@ -78,7 +78,9 @@ def _expand_kernel(lo_ref, packed_hbm, out_ref, buf, sems):
     # pair-column ids of this chunk, exact in f32 (A < 2^24)
     gj = (
         jnp.float32(c * CHUNK)
-        + jax.lax.broadcasted_iota(jnp.float32, (CHUNK, 1), 0)
+        + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0).astype(
+            jnp.float32
+        )
     )
     offs_w = d[ROW_OFFS, :][None, :]  # (1, W)
     next_w = d[ROW_NEXT, :][None, :]

@@ -56,6 +56,13 @@ class Trainer:
         self.save_vis = cfg.get("save_vis", True)
         self.global_iterations = 0
         self.rng = np.random.default_rng(666)
+        # device-resident GT cache (see _gt_to_device)
+        self.gt_cache_limit_bytes = (
+            int(cfg.get("gt_cache_mb", 512)) * 1024 * 1024
+        )
+        self._gt_cache_ok = False
+        self._gt_dev_cache = {}
+        self._gt_cache_bytes = 0
         # multi-chip training (cfg.train.parallel): enable auto|true|false,
         # cams_per_device, backend, check_cull — see log_tpu/parallel
         self.parallel_cfg = dict(cfg.train.get("parallel", {}) or {}) \
@@ -209,6 +216,34 @@ class Trainer:
             return True, output, loss
         return True, output, metrics["loss"]
 
+    def _gt_to_device(self, view_index, gt):
+        """Device-resident GT cache.
+
+        Training revisits the same views every base_iter cycle; uploading
+        H*W*3 uint8 per step is pure transfer waste (and the tunnel's
+        host->device path can degrade to ~100 KB/s on remote runtimes).
+        Enabled per stage only when the dataset serves full frames
+        (no random crops — see fit()); falls back to per-step upload once
+        the byte budget (cfg.gt_cache_mb, default 512) is exceeded, so
+        urban-scale datasets never squeeze model state out of HBM.
+        """
+        if not self._gt_cache_ok:
+            return gt
+        key = (int(view_index), gt.shape)
+        hit = self._gt_dev_cache.get(key)
+        if hit is not None:
+            return hit
+        if self._gt_cache_bytes + gt.nbytes > self.gt_cache_limit_bytes:
+            self._gt_cache_ok = False
+            self._gt_dev_cache.clear()
+            return gt
+        import jax
+
+        dev = jax.device_put(gt)
+        self._gt_cache_bytes += gt.nbytes
+        self._gt_dev_cache[key] = dev
+        return dev
+
     def training_step(self, model, data, step=True, accumulate_step=1):
         if self.executor is not None:
             return self._training_step_parallel(model, data)
@@ -233,6 +268,10 @@ class Trainer:
             if "mask_ignore" in data:
                 mask = np.asarray(data["mask_ignore"][bn])
             view_index = int(np.asarray(data["index"])[bn])
+            # training revisits the same views every base_iter cycle — keep
+            # GT device-resident instead of re-uploading H*W*3 bytes/step
+            # (the tunnel's host->device path can degrade to ~100 KB/s)
+            gt_step = self._gt_to_device(view_index, gt)
             gt_depth = None
             if "depth" in data and isinstance(data["depth"][bn], np.ndarray):
                 gt_depth = np.asarray(data["depth"][bn])
@@ -240,7 +279,8 @@ class Trainer:
             if getattr(self.render, "foreground_crop", False) and "mask" in data:
                 fg_mask = np.asarray(data["mask"][bn])
             metrics, aux = model.training_iteration(
-                camera, gt, background, mask_ignore=mask, view_index=view_index,
+                camera, gt_step, background, mask_ignore=mask,
+                view_index=view_index,
                 gt_depth=gt_depth,
                 render_depth=getattr(self.render, "render_depth", False),
                 fg_mask=fg_mask,
@@ -484,6 +524,12 @@ class Trainer:
                 )
                 continue
             dataset.set_state(**stage.get("dataset_state", {}))
+            # GT device cache: valid only for full-frame datasets (random
+            # crops change content under the same (view, shape) key)
+            cs = tuple(getattr(dataset, "crop_size", (-1, -1)) or (-1, -1))
+            self._gt_cache_ok = cs == (-1, -1)
+            self._gt_dev_cache = {}
+            self._gt_cache_bytes = 0
             self.model.set_stage(stage_name)
             self.model.set_state(**stage.get("model_state", {}))
             if "render_state" in stage:

@@ -21,109 +21,23 @@ H, W = 1088, 1920
 FRAMES = 20
 
 
-def build_scene(n_roots, rng):
-    """Urban-style: roots on a big ground extent, 50% split into 4 children,
-    30% of children split again. Returns (arrays, tree_np)."""
-    ext = 30.0
-    xyz_r = np.stack([
-        rng.uniform(-ext, ext, n_roots),
-        rng.uniform(-ext, ext, n_roots),
-        rng.uniform(0.0, 2.0, n_roots),
-    ], axis=1).astype(np.float32)
-    scal_r = rng.uniform(0.08, 0.25, (n_roots, 1)).astype(np.float32)
-    scal_r = np.repeat(scal_r, 3, axis=1) * rng.uniform(
-        0.6, 1.4, (n_roots, 3)
-    ).astype(np.float32)
-
-    def make_children(xyz_p, scal_p, parent_rows, n_child=4):
-        P = parent_rows.shape[0]
-        off = rng.normal(0.0, 1.0, (P, n_child, 3)).astype(np.float32)
-        c_xyz = xyz_p[parent_rows][:, None] + off * scal_p[parent_rows][:, None] * 0.5
-        c_scal = np.repeat(scal_p[parent_rows][:, None] * 0.55, n_child, axis=1)
-        return c_xyz.reshape(-1, 3), c_scal.reshape(-1, 3)
-
-    split1 = np.flatnonzero(rng.random(n_roots) < 0.5).astype(np.int32)
-    c1_xyz, c1_scal = make_children(xyz_r, scal_r, split1)
-    n1 = c1_xyz.shape[0]
-    split2_local = np.flatnonzero(rng.random(n1) < 0.3).astype(np.int32)
-    c2_xyz, c2_scal = make_children(c1_xyz, c1_scal, split2_local)
-    n2 = c2_xyz.shape[0]
-    n = n_roots + n1 + n2
-    print(f"scene: {n_roots} roots + {n1} d1 + {n2} d2 = {n}")
-
-    xyz = np.concatenate([xyz_r, c1_xyz, c2_xyz])
-    scal = np.concatenate([scal_r, c1_scal, c2_scal])
-    colors = rng.random((n, 3)).astype(np.float32)
-    rot = np.zeros((n, 4), np.float32)
-    rot[:, 0] = 1.0
-    q = rng.normal(0, 1, (n, 4)).astype(np.float32)
-    rot = q / np.linalg.norm(q, axis=1, keepdims=True)
-    opac = rng.uniform(0.3, 0.95, (n, 1)).astype(np.float32)
-
-    # tree arrays
-    depth = np.zeros(n, np.int32)
-    depth[n_roots:n_roots + n1] = 1
-    depth[n_roots + n1:] = 2
-    index_parent = np.full(n, -1, np.int32)
-    index_parent[n_roots:n_roots + n1] = np.repeat(split1, 4)
-    index_parent[n_roots + n1:] = np.repeat(split2_local + n_roots, 4)
-    node_index = np.full(n, -1, np.int32)
-    node_index[split1] = np.arange(split1.shape[0], dtype=np.int32)
-    node_index[split2_local + n_roots] = split1.shape[0] + np.arange(
-        split2_local.shape[0], dtype=np.int32
-    )
-    root_id = np.arange(n, dtype=np.int32)
-    root_id[n_roots:n_roots + n1] = index_parent[n_roots:n_roots + n1]
-    root_id[n_roots + n1:] = root_id[index_parent[n_roots + n1:]]
-
-    params = {
-        "xyz": xyz,
-        "colors": ((colors - 0.5) / 0.28209479177387814).astype(np.float32),
-        "scaling": np.log(scal).astype(np.float32),
-        "opacity": np.log(opac / (1 - opac)).astype(np.float32),
-        "rotation": rot,
-        "shs": np.zeros((n, 3, 3), np.float32),
-    }
-    tree = {
-        "node_index": node_index, "index_parent": index_parent,
-        "depth": depth, "root_id": root_id,
-    }
-    return params, tree, n
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
     from log_tpu.dataset.base import prepare_camera
-    from log_tpu.model.gaussian import next_capacity, pad_rows
+    from log_tpu.model.gaussian import next_capacity
     from log_tpu.model.train_step import fused_prepare_render, prepare_visibility
     from log_tpu.render.renderer import camera_device
 
-    rng = np.random.default_rng(0)
-    params_np, tree_np, n = build_scene(N_ROOTS, rng)
+    from log_tpu.utils.synth_tree import padded_model_device, tree_sizes
+
+    _, _, n = tree_sizes(N_ROOTS)
     cap = next_capacity(n)
-    print(f"capacity {cap}")
-    params = {
-        k: jax.device_put(jnp.asarray(pad_rows(v, cap)))
-        for k, v in params_np.items()
-    }
-    # parent attr cache
-    parent = np.arange(cap, dtype=np.int32)
-    nzm = tree_np["index_parent"] >= 0
-    parent[:n][nzm] = tree_np["index_parent"][nzm]
-    tree_dev = {
-        "node_index": jax.device_put(jnp.asarray(pad_rows(tree_np["node_index"], cap, -1))),
-        "index_parent": jax.device_put(jnp.asarray(pad_rows(tree_np["index_parent"], cap, -1))),
-        "depth": jax.device_put(jnp.asarray(pad_rows(tree_np["depth"], cap))),
-        "root_id": jax.device_put(jnp.asarray(pad_rows(tree_np["root_id"], cap))),
-    }
-    pdev = jnp.asarray(parent)
-    tree_dev["parent_xyz"] = jnp.take(params["xyz"], pdev, axis=0)
-    tree_dev["parent_scaling"] = jnp.take(params["scaling"], pdev, axis=0)
-    tree_dev["parent_rotation"] = jnp.take(params["rotation"], pdev, axis=0)
-    leaf_opt = (tree_np["node_index"] == -1) & (tree_np["depth"] > 0)
-    is_leaf_opt = jax.device_put(jnp.asarray(pad_rows(leaf_opt, cap, False)))
+    print(f"scene: {n} pts, capacity {cap}", flush=True)
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(0), N_ROOTS, cap
+    )
     n_roots_bucket = min(next_capacity(N_ROOTS), cap)
 
     # oblique aerial cameras orbiting the scene center
@@ -608,6 +522,137 @@ def main():
             )
 
         time_phase("flat cut FUSED (no check)", flat_cut_full, lambda o: o)
+
+    if "fused2" in PHASES:
+        # dissect the CURRENT fused_prepare_render pipeline (compaction-by-
+        # sort + Pallas expand), mirroring bench.py's exact configuration
+        from log_tpu.model.train_step import _compact_slices_sort
+        from log_tpu.ops import pick_max_pairs
+        from log_tpu.ops.expand_pallas import piecewise_expand_pallas
+
+        keep0 = kl | kn
+        kv2 = next_capacity(int(np.asarray(counts).sum() * 1.2), 1 << 15)
+        mp2 = pick_max_pairs(kv2, per_point=6)
+        print(f"fused2: k_vis {kv2} max_pairs {mp2}")
+        common2 = dict(common)
+        common2["max_pairs"] = mp2
+        prep_kwargs = dict(common2)
+        prep_kwargs["max_pairs"] = 1 << 19
+
+        def fused_full(cam):
+            return fused_prepare_render(
+                params, tree_dev, cam,
+                n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
+                min_resolution_pixel=jnp.float32(3.0),
+                current_depth=jnp.int32(20),
+                background=jnp.zeros(3, jnp.float32),
+                image_height=H, image_width=W, k_visible=kv2,
+                sh_degree=0, stage_has_tree=True, num_levels=3,
+                backend="tiled", max_pairs=mp2, check_scale=4,
+                cut_method="flat", n_roots=n_roots_bucket,
+                prep_backend="tiled", prep_max_pairs=1 << 19,
+            )
+        time_phase("FUSED full frame", fused_full, lambda o: o[0])
+
+        def prep2(cam):
+            return prepare_visibility(params, tree_dev, cam, **prep_kwargs)
+
+        time_phase("prepare(cut+check)", prep2, lambda o: o[2])
+
+        nochk = dict(prep_kwargs)
+        nochk["check_scale"] = 1024  # degenerate check: 8x128 render
+        time_phase(
+            "prepare(no check)",
+            lambda cam: prepare_visibility(params, tree_dev, cam, **nochk),
+            lambda o: o[2],
+        )
+
+        need = ["xyz", "colors", "scaling", "opacity", "rotation"]
+        pneed = {kk: params[kk] for kk in need}
+
+        @jax.jit
+        def compact_only(cam, keep):
+            s, idx, lv = _compact_slices_sort(pneed, keep, kv2)
+            return s["xyz"]
+
+        time_phase(
+            "compact-by-sort 14col",
+            lambda cam: compact_only(cam, keep0), lambda o: o,
+        )
+
+        @jax.jit
+        def compact_proj(cam, keep):
+            from log_tpu.ops.projection import project_gaussians
+
+            s, idx, lv = _compact_slices_sort(pneed, keep, kv2)
+            sp = project_gaussians(
+                xyz=s["xyz"], scaling=jnp.exp(s["scaling"]),
+                rotation=s["rotation"] / jnp.linalg.norm(
+                    s["rotation"], axis=-1, keepdims=True
+                ),
+                opacity=jax.nn.sigmoid(s["opacity"][:, 0]),
+                world_view=cam["world_view"], full_proj=cam["full_proj"],
+                focal_x=cam["focal_x"], focal_y=cam["focal_y"],
+                tan_fovx=cam["tan_fovx"], tan_fovy=cam["tan_fovy"],
+                image_height=H, image_width=W, mode="antialias",
+                use_filter=False, active_mask=lv, tight_radius=True,
+            )
+            return sp.radius
+
+        time_phase(
+            "compact+proj",
+            lambda cam: compact_proj(cam, keep0), lambda o: o,
+        )
+
+        @jax.jit
+        def compact_proj_pairs(cam, keep):
+            from log_tpu.ops.projection import project_gaussians
+            from log_tpu.ops.rasterize_tiled import build_pairs
+            from log_tpu.ops.sh import sh_to_rgb
+
+            s, idx, lv = _compact_slices_sort(pneed, keep, kv2)
+            sp = project_gaussians(
+                xyz=s["xyz"], scaling=jnp.exp(s["scaling"]),
+                rotation=s["rotation"] / jnp.linalg.norm(
+                    s["rotation"], axis=-1, keepdims=True
+                ),
+                opacity=jax.nn.sigmoid(s["opacity"][:, 0]),
+                world_view=cam["world_view"], full_proj=cam["full_proj"],
+                focal_x=cam["focal_x"], focal_y=cam["focal_y"],
+                tan_fovx=cam["tan_fovx"], tan_fovy=cam["tan_fovy"],
+                image_height=H, image_width=W, mode="antialias",
+                use_filter=False, active_mask=lv, tight_radius=True,
+            )
+            pairs = build_pairs(
+                sp, sh_to_rgb(s["colors"]), H, W, mp2,
+                runs_tail_only=True, active_prefix=lv,
+            )
+            return pairs["pair_data"]
+
+        time_phase(
+            "compact+proj+build_pairs(pallas)",
+            lambda cam: compact_proj_pairs(cam, keep0), lambda o: o,
+        )
+
+        # pallas expand alone at this scale
+        rngl = np.random.default_rng(7)
+        cnt_sim = jnp.asarray(
+            np.concatenate([
+                rngl.integers(1, 9, kv2 // 2),
+                np.zeros(kv2 - kv2 // 2, np.int64),
+            ]).astype(np.int32)
+        )
+        offs_sim = jnp.cumsum(cnt_sim) - cnt_sim
+        vals_sim = jnp.asarray(rngl.random((13, kv2), np.float32))
+
+        @jax.jit
+        def expand_only(cam):
+            return piecewise_expand_pallas(vals_sim, offs_sim, mp2)
+
+        time_phase(
+            f"pallas expand 13rows P={kv2} A={mp2}", expand_only,
+            lambda o: o,
+        )
 
     if "render" in PHASES:
         # render-only at the cut size (gather + rasterize, fixed keep)
