@@ -85,7 +85,7 @@ def main():
         image_height=H, image_width=W,
         sh_degree=0, stage_has_tree=True, num_levels=3,
         backend="tiled", check_scale=4,
-        cut_method="flat", n_roots=n_roots_bucket,
+        cut_method="flat_slice", n_roots=n_roots_bucket,
         prep_backend="tiled",
         prep_max_pairs=1 << 19,
     )

@@ -152,11 +152,20 @@ class LoG:
         config opted out or parents are optimized (opt_all_levels=False puts
         depth==current_depth parents in the Adam set, which would stale the
         cache between densifies)."""
-        if getattr(self.tree, "cut_method", "flat") != "flat":
+        cm = getattr(self.tree, "cut_method", "flat")
+        if cm not in ("flat", "flat_slice"):
             return "traverse"
         if not self.optimizer_cfg.get("opt_all_levels", True):
             return "traverse"
-        return "flat"
+        return cm
+
+    @property
+    def cut_method_train(self) -> str:
+        """The training/two-phase-prepare paths run the weight cull on the
+        capacity axis; 'flat_slice' (slice-axis cull) is render-only for
+        now."""
+        cm = self.cut_method
+        return "flat" if cm == "flat_slice" else cm
 
     @property
     def n_roots_bucket(self) -> int:
@@ -179,7 +188,7 @@ class LoG:
             pad = np.zeros((cap,), bool)
             pad[: leaf_opt.shape[0]] = leaf_opt
             self._leaf_opt_dev = jnp.asarray(pad)
-            if self.cut_method == "flat":
+            if self.cut_method in ("flat", "flat_slice"):
                 self.tree.ensure_root_id()
                 rid = np.zeros((cap,), np.int32)
                 rid[: self.tree.root_id.shape[0]] = self.tree.root_id
@@ -201,6 +210,12 @@ class LoG:
                 )
                 self._tree_dev["parent_rotation"] = jnp.take(
                     params["rotation"], parent_dev, axis=0
+                )
+                # per-point root-center cache (flat_slice cut)
+                self._tree_dev["root_xyz"] = jnp.take(
+                    params["xyz"],
+                    jnp.clip(self._tree_dev["root_id"], 0, cap - 1),
+                    axis=0,
                 )
         else:
             self._leaf_opt_dev = jnp.zeros((cap,), bool)
@@ -249,7 +264,7 @@ class LoG:
             backend=pick_backend(self.capacity),
             max_pairs=pick_max_pairs(self.capacity),
             check_scale=int(getattr(self, "check_render_scale", 1)),
-            cut_method=self.cut_method if stage_has_tree else "traverse",
+            cut_method=self.cut_method_train if stage_has_tree else "traverse",
             n_roots=self.n_roots_bucket if stage_has_tree else 0,
         )
         c = np.asarray(counts)
@@ -520,7 +535,7 @@ class LoG:
                 cfg,
                 fg_mask=fg_dev,
                 bbox=bbox_dev,
-                cut_method=self.cut_method if stage_has_tree else "traverse",
+                cut_method=self.cut_method_train if stage_has_tree else "traverse",
                 n_roots=self.n_roots_bucket if stage_has_tree else 0,
             )
         )
@@ -553,7 +568,7 @@ class LoG:
         stage_has_tree = self.tree.num_nodes > 0
         if self._tree_dev is None or (
             stage_has_tree
-            and self.cut_method == "flat"
+            and self.cut_method in ("flat", "flat_slice")
             and "parent_xyz" not in self._tree_dev
         ):
             self._refresh_device_caches()

@@ -298,3 +298,40 @@ def flat_cut(
         is_root, True, parent_big & (depth <= max_depth)
     )
     return alive_mask & reach & (small | is_leaf | (depth >= max_depth))
+
+
+@jax.jit
+def flat_cut_pre(
+    index_parent: jax.Array,
+    node_index: jax.Array,
+    depth: jax.Array,
+    root_in_frustum: jax.Array,
+    radius2d: jax.Array,
+    radius2d_parent: jax.Array,
+    alive_mask: jax.Array,
+    min_resolution_pixel,
+    max_depth,
+):
+    """Gather-free pre-cut: `flat_cut` WITHOUT the weight cull.
+
+    The root_visible[root_id] gather costs ~38 ms at 4.2M points (XLA TPU
+    serializes gathers). Split the cut instead: the FRUSTUM part of root
+    visibility is elementwise via a per-point cached root center
+    (`root_xyz`, refreshed at densify cadence like the parent-attribute
+    cache), yielding this SUPERSET cut; the weight cull (per-frame check
+    render, per ROOT) is applied after slice compaction as a k-sized
+    gather `weight_ok[root_id_slice]` (~7 ms at 786k) — see
+    fused_prepare_render(cut_method='flat_slice'). Net: the cull moves
+    off the capacity axis onto the slice axis.
+
+    root_in_frustum: (cap,) bool — frustum flag of each point's ROOT
+    center (roots read their own flag).
+    """
+    is_root = index_parent == -1
+    is_leaf = node_index == -1
+    small = radius2d < min_resolution_pixel
+    parent_big = radius2d_parent >= min_resolution_pixel
+    reach = root_in_frustum & jnp.where(
+        is_root, True, parent_big & (depth <= max_depth)
+    )
+    return alive_mask & reach & (small | is_leaf | (depth >= max_depth))

@@ -46,6 +46,10 @@ class StepConfig:
     # mean and the SSIM map are masked to the bbox instead, which matches
     # the crop exactly (valid-padding SSIM windows fully inside the bbox).
     crop_loss: bool = False
+    # visible-slice compaction: 'sort' (one variadic sort per class — TPU
+    # sort cost is flat in payload count, ~13x cheaper than nonzero + row
+    # gather at multi-M capacity) or 'nonzero' (the original construction)
+    compact_method: str = "sort"
 
 
 UNIT_QUAT = (1.0, 0.0, 0.0, 0.0)
@@ -100,7 +104,9 @@ def _compact_slices_sort(params: dict, keep: jax.Array, k: int):
                 lane_valid[:, None], block, jnp.asarray(UNIT_QUAT)
             )
         else:
-            block = jnp.where(lane_valid[:, None], block, 0.0)
+            block = jnp.where(
+                lane_valid[:, None], block, jnp.zeros((), block.dtype)
+            )
         slices[name] = block.reshape((k,) + tuple(tail_shape))
     return slices, index, lane_valid
 
@@ -209,18 +215,32 @@ def _train_step_core(
 ):
     """Returns (params, moments, counter, corr_state, metrics, aux)."""
     cap = params["xyz"].shape[0]
-    idx_leaf = jnp.nonzero(keep_leaf, size=cfg.k_leaf, fill_value=cap)[0]
-    if cfg.k_node > 0:
-        idx_node = jnp.nonzero(keep_node, size=cfg.k_node, fill_value=cap)[0]
-        index = jnp.concatenate([idx_leaf, idx_node])
+    opt_params = {k: params[k] for k in cfg.opt_keys if k in params}
+    if cfg.compact_method == "sort":
+        slices, index, lane_valid = _compact_slices_sort(
+            opt_params, keep_leaf, cfg.k_leaf
+        )
+        if cfg.k_node > 0:
+            sl_n, idx_n, lv_n = _compact_slices_sort(
+                opt_params, keep_node, cfg.k_node
+            )
+            slices = {
+                k: jnp.concatenate([slices[k], sl_n[k]]) for k in slices
+            }
+            index = jnp.concatenate([index, idx_n])
+            lane_valid = jnp.concatenate([lane_valid, lv_n])
     else:
-        index = idx_leaf
-    lane_valid = index < cap
+        idx_leaf = jnp.nonzero(keep_leaf, size=cfg.k_leaf, fill_value=cap)[0]
+        if cfg.k_node > 0:
+            idx_node = jnp.nonzero(
+                keep_node, size=cfg.k_node, fill_value=cap
+            )[0]
+            index = jnp.concatenate([idx_leaf, idx_node])
+        else:
+            index = idx_leaf
+        lane_valid = index < cap
+        slices = _gather_slices(opt_params, index, lane_valid)
     K = index.shape[0]
-
-    slices = _gather_slices(
-        {k: params[k] for k in cfg.opt_keys if k in params}, index, lane_valid
-    )
     offset0 = jnp.zeros((K, 2), jnp.float32)
     if cfg.use_correction:
         correction = corr_state["values"][view_index]
@@ -563,20 +583,93 @@ def fused_prepare_render(
     executable — zero per-frame host syncs (the demo/viewer/bench hot path;
     reference timing loop: /root/reference/apps/train.py:41-83). k_visible
     is a static cut budget; overflow truncates the cut for that frame.
-    Returns (render (3,H,W), alpha (H,W), counts (2,))."""
-    keep_leaf, keep_node, counts = _prepare_core(
-        params, tree_arrays, cam, n_alive, is_leaf_opt, min_resolution_pixel,
-        current_depth, image_height, image_width, stage_has_tree, num_levels,
-        mode, prep_backend, prep_max_pairs, check_scale, cut_method, n_roots,
-    )
-    keep = keep_leaf | keep_node
+    Returns (render (3,H,W), alpha (H,W), counts (2,)).
+
+    cut_method='flat_slice': gather-free pre-cut (flat_cut_pre via the
+    per-point cached root center, tree_arrays['root_xyz']) + the weight
+    cull applied AFTER compaction as a k-sized gather — moves the ~38 ms
+    root_visible[root_id] capacity-axis gather onto the slice axis.
+    Weight-culled lanes become interior holes in the active mask, so the
+    rasterizer receives the pure compaction prefix separately
+    (prefix_mask) to keep the Pallas expansion's tail-only-zeros contract.
+    """
     cap = params["xyz"].shape[0]
     need = ["xyz", "colors", "scaling", "opacity", "rotation"]
     if sh_degree > 0 and "shs" in params:
         need.append("shs")
-    slices, index, lane_valid = _compact_slices_sort(
-        {kk: params[kk] for kk in need}, keep, k_visible
-    )
+    if cut_method == "flat_slice" and stage_has_tree:
+        from ..ops import gaussian_math as gm
+        from .tensor_tree import flat_cut_pre
+
+        alive = jnp.arange(cap) < n_alive
+        rx = tree_arrays["root_xyz"]
+        rpx, rpy, rpz, _ = gm.project_ndc_c(
+            rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
+        )
+        root_frus = gm.frustum_flag_c(rpx, rpy, rpz, padding=0.5) & alive
+        scaling_full = jnp.exp(params["scaling"])
+        rotation_full = params["rotation"] / jnp.maximum(
+            jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True),
+            1e-12,
+        )
+        radius2d = gm.compute_radius2d(
+            params["xyz"], scaling_full, rotation_full, cam["world_view"],
+            cam["full_proj"], cam["focal_x"], cam["focal_y"],
+            cam["tan_fovx"], cam["tan_fovy"],
+        )
+        radius2d_parent = gm.compute_radius2d(
+            tree_arrays["parent_xyz"],
+            jnp.exp(tree_arrays["parent_scaling"]),
+            tree_arrays["parent_rotation"] / jnp.maximum(
+                jnp.linalg.norm(
+                    tree_arrays["parent_rotation"], axis=-1, keepdims=True
+                ),
+                1e-12,
+            ),
+            cam["world_view"], cam["full_proj"], cam["focal_x"],
+            cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
+        )
+        keep = flat_cut_pre(
+            tree_arrays["index_parent"], tree_arrays["node_index"],
+            tree_arrays["depth"], root_frus, radius2d, radius2d_parent,
+            alive, min_resolution_pixel, current_depth,
+        )
+        counts = jnp.stack(
+            [jnp.sum(keep & is_leaf_opt), jnp.sum(keep & ~is_leaf_opt)]
+        )
+        cols = {kk: params[kk] for kk in need}
+        cols["root_id"] = tree_arrays["root_id"][:, None]
+        slices, index, lane_prefix = _compact_slices_sort(
+            cols, keep, k_visible
+        )
+        root_id_sl = slices.pop("root_id")[:, 0]
+        R = n_roots if 0 < n_roots <= cap else cap
+        xyz_r = params["xyz"][:R]
+        cand = (
+            gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
+            & (tree_arrays["index_parent"][:R] == -1)
+            & alive[:R]
+        )
+        weight_ok = _check_root_weights(
+            xyz_r, jax.nn.sigmoid(params["opacity"][:R, 0]),
+            scaling_full[:R], rotation_full[:R], cand, cam,
+            image_height, image_width, mode, prep_backend, prep_max_pairs,
+            check_scale,
+        )
+        w_sl = jnp.take(weight_ok, jnp.clip(root_id_sl, 0, R - 1))
+        lane_valid = lane_prefix & w_sl
+    else:
+        keep_leaf, keep_node, counts = _prepare_core(
+            params, tree_arrays, cam, n_alive, is_leaf_opt,
+            min_resolution_pixel, current_depth, image_height, image_width,
+            stage_has_tree, num_levels, mode, prep_backend, prep_max_pairs,
+            check_scale, cut_method, n_roots,
+        )
+        keep = keep_leaf | keep_node
+        slices, index, lane_valid = _compact_slices_sort(
+            {kk: params[kk] for kk in need}, keep, k_visible
+        )
+        lane_prefix = lane_valid
     cfg = StepConfig(
         image_height=image_height,
         image_width=image_width,
@@ -625,10 +718,60 @@ def fused_prepare_render(
         out = rasterize_tiled(
             **kwargs, max_pairs=max_pairs, with_stats=False,
             tight_radius=True, runs_tail_only=True,
+            prefix_mask=lane_prefix,
         )
     else:
         out = rasterize_ref.rasterize(**kwargs)
     return out["render"], out["alpha"], counts
+
+
+def _check_root_weights(
+    xyz, opacity, scaling, rotation, root_candidate, cam,
+    image_height, image_width, mode, backend, max_pairs, check_scale,
+):
+    """Weight-render cull of ROOT rows (render_to_check;
+    LoG/model/level_of_gaussian.py:207-241): low-res render of candidate
+    roots, keep those with max blend weight > 1e-8. Inputs are the root
+    PREFIX rows (activated); returns (R,) bool."""
+    # the weight-cull render may run at reduced resolution (the 1e-8
+    # threshold is a coarse occlusion test; urban configs set check_scale=4)
+    chk_h = max(image_height // check_scale, 8)
+    chk_w = max(image_width // check_scale, 128)
+    check_kwargs = dict(
+        xyz=xyz,
+        colors=jnp.ones_like(xyz),
+        opacity=opacity,
+        scaling=scaling,
+        rotation=rotation,
+        means2d_offset=jnp.zeros_like(xyz[:, :2]),
+        world_view=cam["world_view"],
+        full_proj=cam["full_proj"],
+        focal_x=cam["focal_x"] / check_scale,
+        focal_y=cam["focal_y"] / check_scale,
+        tan_fovx=cam["tan_fovx"],
+        tan_fovy=cam["tan_fovy"],
+        background=jnp.zeros(3),
+        image_height=chk_h,
+        image_width=chk_w,
+        active_mask=root_candidate,
+        mode=mode,
+        use_filter=True,
+    )
+    if backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        check = rasterize_tiled(
+            # "weights": the cull only needs point_weight — skip the
+            # per-pixel argmax bookkeeping of full stats mode.
+            # tight_radius: the 1e-8 weight cull only drops invisible
+            # points; truncating rects at the 1/255 contribution contour
+            # culls the same set while shrinking the pair workload
+            **check_kwargs, max_pairs=max_pairs, with_stats="weights",
+            tight_radius=True,
+        )
+    else:
+        check = rasterize_ref.rasterize(**check_kwargs, chunk=64)
+    return check["point_weight"] > 1e-8
 
 
 @partial(
@@ -704,50 +847,16 @@ def prepare_visibility(
         params["rotation"], axis=-1, keepdims=True
     )
     opacity = jax.nn.sigmoid(params["opacity"][:, 0])
-    # the weight-cull render may run at reduced resolution (the 1e-8
-    # threshold is a coarse occlusion test; urban configs set check_scale=4)
-    chk_h = max(image_height // check_scale, 8)
-    chk_w = max(image_width // check_scale, 128)
     R = n_roots if 0 < n_roots <= cap else cap
 
     def pfx(a):
         return a[:R]
 
-    check_kwargs = dict(
-        xyz=pfx(xyz),
-        colors=jnp.ones_like(pfx(xyz)),
-        opacity=pfx(opacity),
-        scaling=pfx(scaling),
-        rotation=pfx(rotation),
-        means2d_offset=jnp.zeros_like(pfx(xyz)[:, :2]),
-        world_view=cam["world_view"],
-        full_proj=cam["full_proj"],
-        focal_x=cam["focal_x"] / check_scale,
-        focal_y=cam["focal_y"] / check_scale,
-        tan_fovx=cam["tan_fovx"],
-        tan_fovy=cam["tan_fovy"],
-        background=jnp.zeros(3),
-        image_height=chk_h,
-        image_width=chk_w,
-        active_mask=pfx(root_candidate),
-        mode=mode,
-        use_filter=True,
+    root_weight_ok = _check_root_weights(
+        pfx(xyz), pfx(opacity), pfx(scaling), pfx(rotation),
+        pfx(root_candidate), cam, image_height, image_width, mode, backend,
+        max_pairs, check_scale,
     )
-    if backend == "tiled":
-        from ..ops.rasterize_tiled import rasterize_tiled
-
-        check = rasterize_tiled(
-            # "weights": the cull only needs point_weight — skip the
-            # per-pixel argmax bookkeeping of full stats mode.
-            # tight_radius: the 1e-8 weight cull only drops invisible
-            # points; truncating rects at the 1/255 contribution contour
-            # culls the same set while shrinking the pair workload
-            **check_kwargs, max_pairs=max_pairs, with_stats="weights",
-            tight_radius=True,
-        )
-    else:
-        check = rasterize_ref.rasterize(**check_kwargs, chunk=64)
-    root_weight_ok = check["point_weight"] > 1e-8
     if R < cap:
         root_weight_ok = jnp.concatenate(
             [root_weight_ok, jnp.zeros((cap - R,), bool)]

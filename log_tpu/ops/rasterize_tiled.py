@@ -105,11 +105,17 @@ def _use_packed_keys() -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def sort_pairs(key_tile, key_depth, key_gid, values, num_tiles):
-    """Sort pair records by (tile, depth[, gid]); values: (R, A) payloads.
+    """Sort pair records by (tile, depth[, gid]).
 
-    Returns (tile_sorted, gid_sorted, values_sorted, perm). The VJP applies
-    the inverse permutation to the values-cotangent with ANOTHER sort (TPU
-    sort >> TPU gather/scatter). tile_sorted is the raw tile id.
+    values: TUPLE of (A,) payload rows — rows stay 1-D through the whole
+    binning stage because jnp.stack-ing sort outputs into an (R, A) array
+    costs ~50 ms at R=13, A=5M on TPU (strided sublane writes into the
+    tiled 2-D layout); the packed (16, A) kernel input is produced by the
+    Pallas pack kernel instead (`pack_rows`).
+
+    Returns (tile_sorted, gid_sorted, values_sorted_tuple, perm). The VJP
+    applies the inverse permutation to the values-cotangents with ANOTHER
+    sort (TPU sort >> TPU gather/scatter). tile_sorted is the raw tile id.
     """
     out = _sort_pairs_fwd(key_tile, key_depth, key_gid, values, num_tiles)
     return out[0]
@@ -122,37 +128,116 @@ def _sort_pairs_fwd(key_tile, key_depth, key_gid, values, num_tiles):
         shift = _pack_shift(num_tiles)
         dbits = jax.lax.bitcast_convert_type(key_depth, jnp.uint32)
         key = (key_tile.astype(jnp.uint32) << shift) | (dbits >> (32 - shift))
-        ops = (key, key_gid, perm) + tuple(
-            values[r] for r in range(values.shape[0])
-        )
+        ops = (key, key_gid, perm) + tuple(values)
         sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
         tile_s = (sorted_ops[0] >> shift).astype(jnp.int32)
         gid_s = sorted_ops[1]
         perm_s = sorted_ops[2]
-        values_s = jnp.stack(sorted_ops[3:], axis=0)
+        values_s = tuple(sorted_ops[3:])
     else:
-        ops = (key_tile, key_depth, key_gid, perm) + tuple(
-            values[r] for r in range(values.shape[0])
-        )
+        ops = (key_tile, key_depth, key_gid, perm) + tuple(values)
         sorted_ops = jax.lax.sort(ops, num_keys=3, is_stable=False)
         tile_s = sorted_ops[0]
         gid_s = sorted_ops[2]
         perm_s = sorted_ops[3]
-        values_s = jnp.stack(sorted_ops[4:], axis=0)
+        values_s = tuple(sorted_ops[4:])
     return (tile_s, gid_s, values_s, perm_s), (perm_s,)
 
 
 def _sort_pairs_bwd(num_tiles, residuals, cts):
     (perm_s,) = residuals
     _, _, d_values_s, _ = cts
-    R = d_values_s.shape[0]
-    ops = (perm_s,) + tuple(d_values_s[r] for r in range(R))
+    ops = (perm_s,) + tuple(d_values_s)
     unsorted = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    d_values = jnp.stack(unsorted[1:], axis=0)
-    return (None, None, None, d_values)
+    return (None, None, None, tuple(unsorted[1:]))
 
 
 sort_pairs.defvjp(_sort_pairs_fwd, _sort_pairs_bwd)
+
+
+# --------------------------------------------------------------------------
+# Pallas pack: n 1-D rows -> one (16, A + spare) array for the kernel DMAs
+# --------------------------------------------------------------------------
+PACK_CHUNK = 1 << 15  # every max_pairs bucket is a multiple of 2^15
+
+
+def _pack_kernel(*refs, n_in: int):
+    # refs: n_in HBM inputs (1, A), out block (16, C), n_in VMEM row
+    # buffers (1, C) (DMA into a sublane slice of one tiled buffer is
+    # illegal — "slice along dim 0 must be 8-aligned" — so each row gets
+    # its own (1, C) buffer), DMA semaphores (n_in,)
+    out_ref = refs[n_in]
+    bufs = refs[n_in + 1 : n_in + 1 + n_in]
+    sems = refs[n_in + 1 + n_in]
+    c = pl.program_id(0)
+    n_real = pl.num_programs(0) - 1  # the final block is the zero spare
+
+    @pl.when(c < n_real)
+    def _():
+        off = pl.multiple_of(c * PACK_CHUNK, PACK_CHUNK)
+        for r in range(n_in):
+            pltpu.make_async_copy(
+                refs[r].at[:, pl.ds(off, PACK_CHUNK)], bufs[r], sems.at[r]
+            ).start()
+        for r in range(n_in):
+            pltpu.make_async_copy(
+                refs[r].at[:, pl.ds(off, PACK_CHUNK)], bufs[r], sems.at[r]
+            ).wait()
+        out_ref[:, :] = jnp.concatenate(
+            [bufs[r][:, :] for r in range(n_in)]
+            + [jnp.zeros((N_ROWS - n_in, PACK_CHUNK), jnp.float32)],
+            axis=0,
+        )
+
+    @pl.when(c == n_real)
+    def _():
+        out_ref[:, :] = jnp.zeros((N_ROWS, PACK_CHUNK), jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pack_rows(rows, interpret=False):
+    """Pack n 1-D f32 rows (A,) into (N_ROWS, A + PACK_CHUNK), rows n..15
+    and the spare zero-filled. A must be a multiple of PACK_CHUNK.
+
+    Differentiable: the cotangent of row r is d_packed[r, :A]."""
+    return _pack_rows_impl(tuple(rows), interpret)
+
+
+def _pack_rows_fwd(rows, interpret):
+    rows = tuple(rows)
+    return _pack_rows_impl(rows, interpret), (len(rows), rows[0].shape[0])
+
+
+def _pack_rows_bwd(interpret, res, g):
+    n_in, A = res
+    return (tuple(g[r, :A] for r in range(n_in)),)
+
+
+pack_rows.defvjp(_pack_rows_fwd, _pack_rows_bwd)
+
+
+def _pack_rows_impl(rows, interpret=False):
+    n_in = len(rows)
+    A = rows[0].shape[0]
+    assert n_in <= N_ROWS and A % PACK_CHUNK == 0, (n_in, A)
+    n_chunks = A // PACK_CHUNK + 1
+    kernel = functools.partial(_pack_kernel, n_in=n_in)
+    rows2d = [r.reshape(1, A) for r in rows]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        out_specs=pl.BlockSpec((N_ROWS, PACK_CHUNK), lambda c: (0, c)),
+        out_shape=jax.ShapeDtypeStruct(
+            (N_ROWS, A + PACK_CHUNK), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, PACK_CHUNK), jnp.float32) for _ in range(n_in)
+        ] + [
+            pltpu.SemaphoreType.DMA((n_in,)),
+        ],
+        interpret=interpret,
+    )(*rows2d)
 
 
 # --------------------------------------------------------------------------
@@ -182,7 +267,9 @@ def piecewise_expand(values, offsets, length):
     """
     P = offsets.shape[0]
     if P >= _EXPAND_SORT_THRESHOLD:
-        return _piecewise_expand_sort(values, offsets, length)
+        return jnp.stack(
+            _piecewise_expand_sort_rows(values, offsets, length), axis=0
+        )
     deltas = jnp.concatenate(
         [values[:, :1], values[:, 1:] - values[:, :-1]], axis=1
     )
@@ -191,7 +278,27 @@ def piecewise_expand(values, offsets, length):
     return jnp.cumsum(seeded, axis=1)
 
 
+def piecewise_expand_rows(values, offsets, length):
+    """piecewise_expand returning a LIST of (length,) rows.
+
+    Avoids ever stacking sort outputs into an (R, A) array — measured
+    ~50 ms at R=13, A=5M on TPU (strided sublane writes into the tiled
+    layout); all downstream consumers are row-wise anyway.
+    """
+    P = offsets.shape[0]
+    if P >= _EXPAND_SORT_THRESHOLD:
+        return _piecewise_expand_sort_rows(values, offsets, length)
+    out = piecewise_expand(values, offsets, length)
+    return [out[r] for r in range(values.shape[0])]
+
+
 def _piecewise_expand_sort(values, offsets, length):
+    return jnp.stack(
+        _piecewise_expand_sort_rows(values, offsets, length), axis=0
+    )
+
+
+def _piecewise_expand_sort_rows(values, offsets, length):
     R, P = values.shape
     A = length
     deltas = jnp.concatenate(
@@ -213,16 +320,18 @@ def _piecewise_expand_sort(values, offsets, length):
     ops = (keys,) + tuple(merged[r] for r in range(R))
     sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
     k_s = sorted_ops[0]
-    run = jnp.cumsum(jnp.stack(sorted_ops[1:], axis=0), axis=1)
+    # per-row 1-D cumsums: stacking the sorted rows first costs ~5x the
+    # sorts themselves
+    run = tuple(jnp.cumsum(r) for r in sorted_ops[1:])
     # second sort brings fillers to the front in column order
     is_fill = (k_s & 1) == 1
     key2 = jnp.where(
         is_fill, k_s >> 1,
         jnp.uint32(A) + jnp.arange(P + A, dtype=jnp.uint32),
     )
-    ops2 = (key2,) + tuple(run[r] for r in range(R))
+    ops2 = (key2,) + run
     sorted2 = jax.lax.sort(ops2, num_keys=1, is_stable=False)
-    return jnp.stack(sorted2[1:], axis=0)[:, :A]
+    return [r[:A] for r in sorted2[1:]]
 
 
 def build_pairs(splats, colors, image_height, image_width, max_pairs,
@@ -325,15 +434,16 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs,
         all_pc = piecewise_expand_pallas(
             stack13, offsets_c, A, interpret=interpret
         )
+        all_rows = [all_pc[r] for r in range(stack13.shape[0])]
     else:
-        all_pc = piecewise_expand(stack13, offsets_c, A)
-    val_pc = all_pc[:N_VAL_ROWS]
-    off_pc = all_pc[N_VAL_ROWS + 0].astype(jnp.int32)
-    geo_pc = all_pc[N_VAL_ROWS + 1].astype(jnp.int32)
+        all_rows = piecewise_expand_rows(stack13, offsets_c, A)
+    val_pc = tuple(all_rows[:N_VAL_ROWS])
+    off_pc = all_rows[N_VAL_ROWS + 0].astype(jnp.int32)
+    geo_pc = all_rows[N_VAL_ROWS + 1].astype(jnp.int32)
     x0_pc = geo_pc & 31
     y0_pc = (geo_pc >> 5) & 511
     w_pc = jnp.maximum(geo_pc >> 14, 1)
-    gid_pc = all_pc[N_VAL_ROWS + 2].astype(jnp.int32)
+    gid_pc = all_rows[N_VAL_ROWS + 2].astype(jnp.int32)
 
     j = jnp.arange(A, dtype=jnp.int32)
     k = j - off_pc
@@ -355,11 +465,18 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs,
 
     # pack (16, A + spare chunk): rows 0..9 values, row 10 the gaussian id
     # (already sorted as a key payload — rides the chunk DMA for free), rest
-    # zero
-    gid_row = jax.lax.stop_gradient(gid_s.astype(jnp.float32))[None, :]
-    pad = jnp.zeros((N_ROWS - N_VAL_ROWS - 1, A), jnp.float32)
-    pair_data = jnp.concatenate([values_s, gid_row, pad], axis=0)
-    pair_data = jnp.pad(pair_data, ((0, 0), (0, PAIR_CHUNK)))
+    # zero. Packing runs in a Pallas DMA kernel: a jnp.stack of the sorted
+    # 1-D rows costs ~50 ms at 4M pairs (strided sublane writes).
+    gid_row = jax.lax.stop_gradient(gid_s.astype(jnp.float32))
+    pack_in = tuple(values_s) + (gid_row,)
+    if A % PACK_CHUNK == 0:
+        pair_data = pack_rows(pack_in, interpret=interpret)
+    else:  # small/odd buckets (tests): plain stack + pad
+        pad = jnp.zeros((N_ROWS - len(pack_in), A), jnp.float32)
+        pair_data = jnp.concatenate(
+            [jnp.stack(pack_in, axis=0), pad], axis=0
+        )
+        pair_data = jnp.pad(pair_data, ((0, 0), (0, PAIR_CHUNK)))
 
     return {
         "pair_data": pair_data,  # (16, A + 128)
@@ -927,11 +1044,16 @@ def rasterize_tiled(
     interpret: bool | None = None,
     tight_radius: bool = False,
     runs_tail_only: bool = False,
+    prefix_mask=None,
 ):
     """Same output contract as rasterize_ref.rasterize.
 
-    runs_tail_only: promise that active_mask is a PREFIX mask (compacted
-    caller slices) — routes the pair expansion to the Pallas MXU kernel.
+    runs_tail_only: promise that the lanes bearing pairs form a PREFIX
+    (compacted caller slices) — routes the pair expansion to the Pallas
+    MXU kernel. When active_mask has interior holes (e.g. a post-
+    compaction weight cull), pass the pure compaction prefix separately
+    as prefix_mask; holed lanes then emit one sanitized zero-alpha pair
+    so zero-count runs stay tail-only.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -943,7 +1065,8 @@ def rasterize_tiled(
     )
     pairs = build_pairs(
         splats, colors, image_height, image_width, max_pairs,
-        runs_tail_only=runs_tail_only, active_prefix=active_mask,
+        runs_tail_only=runs_tail_only,
+        active_prefix=prefix_mask if prefix_mask is not None else active_mask,
         interpret=interpret,
     )
     color, tfinal, pid_pair, pwp, pair_w = _raster_core(

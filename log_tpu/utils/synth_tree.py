@@ -158,5 +158,9 @@ def padded_model_device(key: jax.Array, n_roots: int, cap: int):
     tree_dev["parent_xyz"] = jnp.take(params["xyz"], parent, axis=0)
     tree_dev["parent_scaling"] = jnp.take(params["scaling"], parent, axis=0)
     tree_dev["parent_rotation"] = jnp.take(params["rotation"], parent, axis=0)
+    # per-point root-center cache (flat_slice cut): roots read themselves
+    tree_dev["root_xyz"] = jnp.take(
+        params["xyz"], jnp.clip(tree_dev["root_id"], 0, cap - 1), axis=0
+    )
     is_leaf_opt = (tree_dev["node_index"] == -1) & (tree_dev["depth"] > 0)
     return params, tree_dev, is_leaf_opt

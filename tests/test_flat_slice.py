@@ -1,0 +1,73 @@
+"""flat_slice cut (gather-free pre-cut + slice-axis weight cull) must
+render the same image as the 'flat' cut (capacity-axis cull)."""
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from log_tpu.dataset.base import prepare_camera
+from log_tpu.model.gaussian import next_capacity
+from log_tpu.model.train_step import fused_prepare_render
+from log_tpu.render.renderer import camera_device
+from log_tpu.utils.synth_tree import padded_model_device, tree_sizes
+
+H, W = 64, 128
+
+
+def make_cam(theta, radius=22.0, height=18.0):
+    pos = np.array(
+        [radius * math.cos(theta), radius * math.sin(theta), height]
+    )
+    fwd = -pos / np.linalg.norm(pos)
+    right = np.cross(fwd, np.array([0, 0, 1.0]))
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd])
+    T = (-R @ pos).reshape(3, 1)
+    K = np.array([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]])
+    return camera_device(
+        prepare_camera(
+            {"K": K, "R": R, "T": T, "H": H, "W": W,
+             "center": pos.reshape(3, 1)},
+            1, 0.01, 1000.0,
+        )
+    )
+
+
+def test_flat_slice_matches_flat():
+    n_roots = 3000
+    _, _, n = tree_sizes(n_roots)
+    cap = next_capacity(n)
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(0), n_roots, cap
+    )
+    n_roots_bucket = min(next_capacity(n_roots, 256), cap)
+    cam = make_cam(0.4)
+    common = dict(
+        n_alive=jnp.int32(n),
+        is_leaf_opt=is_leaf_opt,
+        min_resolution_pixel=jnp.float32(3.0),
+        current_depth=jnp.int32(20),
+        background=jnp.zeros(3, jnp.float32),
+        image_height=H, image_width=W,
+        k_visible=next_capacity(n, 256),
+        sh_degree=0, stage_has_tree=True, num_levels=3,
+        backend="tiled", max_pairs=1 << 16, check_scale=4,
+        n_roots=n_roots_bucket,
+        prep_backend="tiled", prep_max_pairs=1 << 15,
+    )
+    img_flat, alpha_flat, counts_flat = fused_prepare_render(
+        params, tree_dev, cam, cut_method="flat", **common
+    )
+    img_sl, alpha_sl, counts_sl = fused_prepare_render(
+        params, tree_dev, cam, cut_method="flat_slice", **common
+    )
+    # the pre-cut counts are a superset of the culled counts
+    assert int(counts_sl.sum()) >= int(counts_flat.sum()) > 0
+    np.testing.assert_allclose(
+        np.asarray(img_sl), np.asarray(img_flat), atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_sl), np.asarray(alpha_flat), atol=2e-4,
+    )
