@@ -572,14 +572,29 @@ def _fwd_kernel(
         one_minus = 1.0 - alpha
         if CUMPROD_IMPL == "matmul":
             # exclusive cumprod via STRICT-triangular MXU matmul
-            # (division-free; inclusive = exclusive * one_minus)
-            cp_excl = jnp.exp(
-                jax.lax.dot_general(
-                    ltri_strict, jnp.log(one_minus),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            # (division-free; inclusive = exclusive * one_minus).
+            # Inference (with_stats=False) runs it in bf16: the triangular
+            # mask is exact 0/1, log(1-a) in [-4.6, 0] carries ~0.4%
+            # relative error -> transmittance error < ~1%, invisible at
+            # 8-bit output; training keeps f32 for gradient fidelity.
+            log_om = jnp.log(one_minus)
+            if with_stats is False:
+                cp_excl = jnp.exp(
+                    jax.lax.dot_general(
+                        ltri_strict.astype(jnp.bfloat16),
+                        log_om.astype(jnp.bfloat16),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
-            )
+            else:
+                cp_excl = jnp.exp(
+                    jax.lax.dot_general(
+                        ltri_strict, log_om,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
         else:
             # doubling scan: log2(CHUNK) sublane-roll multiplies on the VPU
             row1 = jax.lax.broadcasted_iota(

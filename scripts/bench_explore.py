@@ -654,6 +654,171 @@ def main():
             lambda o: o,
         )
 
+    if "fused3" in PHASES:
+        # dissect the flat_slice pipeline
+        from log_tpu.model.train_step import (
+            _check_root_weights, _compact_slices_sort,
+        )
+        from log_tpu.model.tensor_tree import flat_cut_pre
+        from log_tpu.ops import gaussian_math as gm
+        from log_tpu.ops import pick_max_pairs
+
+        kv2 = next_capacity(int(np.asarray(counts).sum() * 1.2), 1 << 15)
+        mp2 = pick_max_pairs(kv2, per_point=6)
+        print(f"fused3: k_vis {kv2} max_pairs {mp2}")
+
+        def fused_slice(cam):
+            return fused_prepare_render(
+                params, tree_dev, cam,
+                n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
+                min_resolution_pixel=jnp.float32(3.0),
+                current_depth=jnp.int32(20),
+                background=jnp.zeros(3, jnp.float32),
+                image_height=H, image_width=W, k_visible=kv2,
+                sh_degree=0, stage_has_tree=True, num_levels=3,
+                backend="tiled", max_pairs=mp2, check_scale=4,
+                cut_method="flat_slice", n_roots=n_roots_bucket,
+                prep_backend="tiled", prep_max_pairs=1 << 19,
+            )
+        time_phase("FUSED flat_slice full frame", fused_slice,
+                   lambda o: o[0])
+
+        @jax.jit
+        def precut(params, tree_dev, cam):
+            cap2 = params["xyz"].shape[0]
+            alive = jnp.arange(cap2) < n
+            rx = tree_dev["root_xyz"]
+            rpx, rpy, rpz, _ = gm.project_ndc_c(
+                rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
+            )
+            root_frus = gm.frustum_flag_c(rpx, rpy, rpz, padding=0.5) & alive
+            sc = jnp.exp(params["scaling"])
+            rot = params["rotation"] / jnp.maximum(
+                jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True),
+                1e-12,
+            )
+            r_self = gm.compute_radius2d(
+                params["xyz"], sc, rot, cam["world_view"], cam["full_proj"],
+                cam["focal_x"], cam["focal_y"], cam["tan_fovx"],
+                cam["tan_fovy"],
+            )
+            r_par = gm.compute_radius2d(
+                tree_dev["parent_xyz"], jnp.exp(tree_dev["parent_scaling"]),
+                tree_dev["parent_rotation"], cam["world_view"],
+                cam["full_proj"], cam["focal_x"], cam["focal_y"],
+                cam["tan_fovx"], cam["tan_fovy"],
+            )
+            return flat_cut_pre(
+                tree_dev["index_parent"], tree_dev["node_index"],
+                tree_dev["depth"], root_frus, r_self, r_par, alive,
+                jnp.float32(3.0), jnp.int32(20),
+            )
+
+        time_phase("pre-cut (elementwise)",
+                   lambda cam: precut(params, tree_dev, cam), lambda o: o)
+
+        need = ["xyz", "colors", "scaling", "opacity", "rotation"]
+
+        @jax.jit
+        def precut_compact(params, tree_dev, cam):
+            keep = precut.__wrapped__(params, tree_dev, cam)
+            cols = {kk: params[kk] for kk in need}
+            cols["root_id"] = tree_dev["root_id"][:, None]
+            s, idx, lv = _compact_slices_sort(cols, keep, kv2)
+            return s["xyz"]
+
+        time_phase("pre-cut + compact(15col)",
+                   lambda cam: precut_compact(params, tree_dev, cam),
+                   lambda o: o)
+
+        @jax.jit
+        def checkw(params, tree_dev, cam):
+            Rb2 = n_roots_bucket
+            rx = tree_dev["root_xyz"]
+            rpx, rpy, rpz, _ = gm.project_ndc_c(
+                rx[..., 0][:Rb2], rx[..., 1][:Rb2], rx[..., 2][:Rb2],
+                cam["full_proj"],
+            )
+            cand = gm.frustum_flag_c(rpx, rpy, rpz, padding=0.5) & (
+                tree_dev["index_parent"][:Rb2] == -1
+            )
+            sc = jnp.exp(params["scaling"][:Rb2])
+            rot = params["rotation"][:Rb2]
+            rot = rot / jnp.maximum(
+                jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12
+            )
+            return _check_root_weights(
+                params["xyz"][:Rb2],
+                jax.nn.sigmoid(params["opacity"][:Rb2, 0]), sc, rot, cand,
+                cam, H, W, "antialias", "tiled", 1 << 19, 4,
+            )
+
+        time_phase("check render (weights)",
+                   lambda cam: checkw(params, tree_dev, cam), lambda o: o)
+
+        @jax.jit
+        def slice_raster(params, tree_dev, cam):
+            keep = precut.__wrapped__(params, tree_dev, cam)
+            cols = {kk: params[kk] for kk in need}
+            s, idx, lv = _compact_slices_sort(cols, keep, kv2)
+            from log_tpu.ops.rasterize_tiled import rasterize_tiled
+            from log_tpu.ops.sh import sh_to_rgb
+
+            out = rasterize_tiled(
+                xyz=s["xyz"], colors=sh_to_rgb(s["colors"]),
+                opacity=jax.nn.sigmoid(s["opacity"][:, 0]),
+                scaling=jnp.exp(s["scaling"]),
+                rotation=s["rotation"] / jnp.linalg.norm(
+                    s["rotation"], axis=-1, keepdims=True
+                ),
+                means2d_offset=jnp.zeros((kv2, 2), jnp.float32),
+                world_view=cam["world_view"], full_proj=cam["full_proj"],
+                focal_x=cam["focal_x"], focal_y=cam["focal_y"],
+                tan_fovx=cam["tan_fovx"], tan_fovy=cam["tan_fovy"],
+                background=jnp.zeros(3, jnp.float32),
+                image_height=H, image_width=W, active_mask=lv,
+                mode="antialias", use_filter=False, max_pairs=mp2,
+                with_stats=False, tight_radius=True, runs_tail_only=True,
+            )
+            return out["render"]
+
+        time_phase(
+            "precut+compact+FULL raster (no check, no wcull)",
+            lambda cam: slice_raster(params, tree_dev, cam), lambda o: o,
+        )
+
+        from log_tpu.ops.projection import project_gaussians
+        from log_tpu.ops.rasterize_tiled import build_pairs
+        from log_tpu.ops.sh import sh_to_rgb as _s2r
+
+        @jax.jit
+        def slice_pairs(params, tree_dev, cam):
+            keep = precut.__wrapped__(params, tree_dev, cam)
+            cols = {kk: params[kk] for kk in need}
+            s, idx, lv = _compact_slices_sort(cols, keep, kv2)
+            sp = project_gaussians(
+                xyz=s["xyz"], scaling=jnp.exp(s["scaling"]),
+                rotation=s["rotation"] / jnp.linalg.norm(
+                    s["rotation"], axis=-1, keepdims=True
+                ),
+                opacity=jax.nn.sigmoid(s["opacity"][:, 0]),
+                world_view=cam["world_view"], full_proj=cam["full_proj"],
+                focal_x=cam["focal_x"], focal_y=cam["focal_y"],
+                tan_fovx=cam["tan_fovx"], tan_fovy=cam["tan_fovy"],
+                image_height=H, image_width=W, mode="antialias",
+                use_filter=False, active_mask=lv, tight_radius=True,
+            )
+            pairs = build_pairs(
+                sp, _s2r(s["colors"]), H, W, mp2,
+                runs_tail_only=True, active_prefix=lv,
+            )
+            return pairs["pair_data"]
+
+        time_phase(
+            "precut+compact+proj+build_pairs",
+            lambda cam: slice_pairs(params, tree_dev, cam), lambda o: o,
+        )
+
     if "render" in PHASES:
         # render-only at the cut size (gather + rasterize, fixed keep)
         keep = kl | kn

@@ -65,9 +65,12 @@ def test_flat_slice_matches_flat():
     )
     # the pre-cut counts are a superset of the culled counts
     assert int(counts_sl.sum()) >= int(counts_flat.sum()) > 0
+    # atol 1e-3: the inference cumprod runs in bf16 and the two paths
+    # feed the kernel in different pair lane orders, so last-ulp bf16
+    # rounding differs; 1e-3 is still far below 8-bit quantization
     np.testing.assert_allclose(
-        np.asarray(img_sl), np.asarray(img_flat), atol=2e-4,
+        np.asarray(img_sl), np.asarray(img_flat), atol=1e-3,
     )
     np.testing.assert_allclose(
-        np.asarray(alpha_sl), np.asarray(alpha_flat), atol=2e-4,
+        np.asarray(alpha_sl), np.asarray(alpha_flat), atol=1e-3,
     )
