@@ -52,7 +52,8 @@ W = 768  # run window (>= 513 + 127 alignment slack; multiple of 128)
 N_IN_ROWS = 16  # 13 caller rows + offs + offs_next + 1 spare
 
 
-def _expand_kernel(lo_ref, packed_hbm, out_ref, buf, sems):
+def _expand_kernel(lo_ref, total_ref, packed_hbm, out_ref, buf, sems, *,
+                   emit_keys: bool, tiles_x: int, num_tiles: int):
     c = pl.program_id(0)
     n_chunks = pl.num_programs(0)
 
@@ -87,8 +88,39 @@ def _expand_kernel(lo_ref, packed_hbm, out_ref, buf, sems):
     cov = (offs_w <= gj).astype(jnp.float32) - (next_w <= gj).astype(
         jnp.float32
     )  # (CHUNK, W), one-hot rows
-    out_ref[:, :] = jax.lax.dot_general(
+    res = jax.lax.dot_general(
         d, cov, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if not emit_keys:
+        out_ref[:, :] = res
+        return
+    # decode the pair's tile id + sentineled depth key IN-KERNEL (VPU
+    # headroom exists — the chunk is matmul-bound; doing it outside costs
+    # ~6 elementwise passes over the A axis). Rows: 10=run offsets,
+    # 11=packed rect geometry, 9=depth (see build_pairs).
+    gj_row = (
+        jnp.float32(c * CHUNK)
+        + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1).astype(
+            jnp.float32
+        )
+    )
+    off = res[10:11, :]  # row 10: the expanded run offsets
+    geo = res[11:12, :].astype(jnp.int32)
+    k = gj_row - off
+    x0 = (geo & 31).astype(jnp.float32)
+    y0 = ((geo >> 5) & 511).astype(jnp.float32)
+    wrect = jnp.maximum(geo >> 14, 1).astype(jnp.float32)
+    # float division with a +0.5 guard is an exact integer floor-div here:
+    # (k + 0.5)/w lies strictly inside (m, m+1) for k in [w m, w(m+1)),
+    # and the 0.5/w margin (>= 0.015 at w <= 32) dwarfs f32 rounding
+    tyl = jnp.floor((k + 0.5) / wrect)
+    txl = k - tyl * wrect
+    tile = (y0 + tyl) * jnp.float32(tiles_x) + (x0 + txl)
+    real = gj_row < total_ref[0].astype(jnp.float32)
+    tile_key = jnp.where(real, tile, jnp.float32(num_tiles))
+    depth_key = jnp.where(real, res[9:10, :], jnp.float32(3.0e38))
+    out_ref[:, :] = jnp.concatenate(
+        [res[:13], tile_key, depth_key, res[15:16]], axis=0
     )
 
 
@@ -96,7 +128,8 @@ ROW_OFFS = 13  # input row carrying run starts
 ROW_NEXT = 14  # input row carrying next-run starts
 
 
-def _expand_fwd_impl(vals, offs, length, interpret):
+def _expand_fwd_impl(vals, offs, length, interpret, total=None,
+                     emit_keys=False, tiles_x=0, num_tiles=0):
     R, P = vals.shape
     assert R <= ROW_OFFS, f"too many value rows for the packed layout: {R}"
     A = length
@@ -134,8 +167,13 @@ def _expand_fwd_impl(vals, offs, length, interpret):
     # clamp so the aligned window [w0, w0+W) stays inside P+W columns
     lo = jnp.minimum(lo, P)
 
+    total_arr = (
+        jnp.zeros((1,), jnp.int32)
+        if total is None
+        else jnp.reshape(total, (1,)).astype(jnp.int32)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -146,12 +184,18 @@ def _expand_fwd_impl(vals, offs, length, interpret):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    kernel = functools.partial(
+        _expand_kernel, emit_keys=emit_keys, tiles_x=tiles_x,
+        num_tiles=num_tiles,
+    )
     out = pl.pallas_call(
-        _expand_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N_IN_ROWS, A), jnp.float32),
         interpret=interpret,
-    )(lo, packed)
+    )(lo, total_arr, packed)
+    if emit_keys:
+        return out[:R], out[13], out[14]
     return out[:R]
 
 
@@ -182,3 +226,45 @@ def _pe_bwd(length, interpret, residuals, g):
 
 
 piecewise_expand_pallas.defvjp(_pe_fwd, _pe_bwd)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def expand_pallas_with_keys(vals, offs, total, length, tiles_x, num_tiles,
+                            interpret=False):
+    """piecewise_expand_pallas + IN-KERNEL pair-sort key decode.
+
+    Returns (rows (R, length), tile_key (length,) f32,
+    depth_key (length,) f32): tile_key = the pair's tile id (num_tiles for
+    columns >= total), depth_key = row-9 depth sentineled to 3e38 — the
+    ~6 A-length elementwise decode passes run on the kernel's spare VPU
+    cycles instead. vals row layout contract: row 9 = depth, row 10 = run
+    offsets (= offs expanded), row 11 = packed rect geometry
+    x0 + 32*(y0 + 512*w).
+    """
+    return _expand_fwd_impl(
+        vals, offs, length, interpret, total=total, emit_keys=True,
+        tiles_x=tiles_x, num_tiles=num_tiles,
+    )
+
+
+def _pek_fwd(vals, offs, total, length, tiles_x, num_tiles, interpret):
+    out = _expand_fwd_impl(
+        vals, offs, length, interpret, total=total, emit_keys=True,
+        tiles_x=tiles_x, num_tiles=num_tiles,
+    )
+    return out, (offs, jnp.concatenate([offs[1:], offs[-1:] * 0 + length]))
+
+
+def _pek_bwd(length, tiles_x, num_tiles, interpret, residuals, g):
+    offs, nxt = residuals
+    g_rows, _, _ = g  # key rows feed stop_gradient'd sort keys
+    s = jnp.cumsum(g_rows, axis=1)
+    s = jnp.concatenate([jnp.zeros_like(s[:, :1]), s], axis=1)
+    lo = jnp.take(s, jnp.minimum(offs, length), axis=1)
+    hi = jnp.take(s, jnp.minimum(nxt, length), axis=1)
+    return (hi - lo, None, None)
+
+
+expand_pallas_with_keys.defvjp(_pek_fwd, _pek_bwd)

@@ -69,8 +69,10 @@ N_ROWS = 16
 N_VAL_ROWS = 10
 # exclusive-cumprod implementation in the forward kernel:
 #   'matmul'   — exp(strict-tri @ log(x)) on the MXU
-#   'doubling' — log-steps of sublane roll+multiply on the VPU
-CUMPROD_IMPL = "matmul"
+#   'doubling' — log-steps of sublane roll+multiply on the VPU (skips the
+#                log+exp transcendental passes: ~390k transcendentals per
+#                chunk are about half the kernel's per-chunk cost)
+CUMPROD_IMPL = os.environ.get("LOG_TPU_CUMPROD", "matmul")
 
 
 def _is_tpu() -> bool:
@@ -429,29 +431,38 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs,
         [val_rows, jax.lax.stop_gradient(int_rows_f)], axis=0
     )
     if runs_tail_only and A % 512 == 0 and A < (1 << 24):
-        from .expand_pallas import piecewise_expand_pallas
+        from .expand_pallas import expand_pallas_with_keys
 
-        all_pc = piecewise_expand_pallas(
-            stack13, offsets_c, A, interpret=interpret
+        # the (tile id, sentineled depth) sort keys are decoded IN-KERNEL
+        # on the expansion's spare VPU cycles — saves ~6 A-length
+        # elementwise passes (incl. the slow vector int div/mod)
+        all_pc, tile_key, dkey = expand_pallas_with_keys(
+            stack13, offsets_c, total_c, A, tiles_x, num_tiles,
+            interpret=interpret,
         )
         all_rows = [all_pc[r] for r in range(stack13.shape[0])]
+        val_pc = tuple(all_rows[:N_VAL_ROWS])
+        gid_pc = all_rows[N_VAL_ROWS + 2].astype(jnp.int32)
+        tile_id = jax.lax.stop_gradient(tile_key).astype(jnp.int32)
+        depth_key = jax.lax.stop_gradient(dkey)
+        real = tile_id < num_tiles
     else:
         all_rows = piecewise_expand_rows(stack13, offsets_c, A)
-    val_pc = tuple(all_rows[:N_VAL_ROWS])
-    off_pc = all_rows[N_VAL_ROWS + 0].astype(jnp.int32)
-    geo_pc = all_rows[N_VAL_ROWS + 1].astype(jnp.int32)
-    x0_pc = geo_pc & 31
-    y0_pc = (geo_pc >> 5) & 511
-    w_pc = jnp.maximum(geo_pc >> 14, 1)
-    gid_pc = all_rows[N_VAL_ROWS + 2].astype(jnp.int32)
+        val_pc = tuple(all_rows[:N_VAL_ROWS])
+        off_pc = all_rows[N_VAL_ROWS + 0].astype(jnp.int32)
+        geo_pc = all_rows[N_VAL_ROWS + 1].astype(jnp.int32)
+        x0_pc = geo_pc & 31
+        y0_pc = (geo_pc >> 5) & 511
+        w_pc = jnp.maximum(geo_pc >> 14, 1)
+        gid_pc = all_rows[N_VAL_ROWS + 2].astype(jnp.int32)
 
-    j = jnp.arange(A, dtype=jnp.int32)
-    k = j - off_pc
-    tx = x0_pc + k % w_pc
-    ty = y0_pc + k // w_pc
-    real = j < total_c
-    tile_id = jnp.where(real, ty * tiles_x + tx, num_tiles)
-    depth_key = jnp.where(real, val_pc[ROW_DEPTH], jnp.inf)
+        j = jnp.arange(A, dtype=jnp.int32)
+        k = j - off_pc
+        tx = x0_pc + k % w_pc
+        ty = y0_pc + k // w_pc
+        real = j < total_c
+        tile_id = jnp.where(real, ty * tiles_x + tx, num_tiles)
+        depth_key = jnp.where(real, val_pc[ROW_DEPTH], jnp.inf)
 
     tile_s, gid_s, values_s, perm_s = sort_pairs(
         tile_id, depth_key, gid_pc, val_pc, num_tiles
@@ -616,10 +627,20 @@ def _fwd_kernel(
             [d[ROW_R, :][:, None], d[ROW_G, :][:, None], d[ROW_B, :][:, None]],
             axis=1,
         )
-        color = color + jax.lax.dot_general(
-            w, rgb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if with_stats is False:
+            # inference: bf16 color accumulation (~0.4% relative — one
+            # 8-bit LSB — while halving the MXU passes of the N=3-padded
+            # accumulate matmul); training keeps f32 weights/colors
+            color = color + jax.lax.dot_general(
+                w.astype(jnp.bfloat16), rgb.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            color = color + jax.lax.dot_general(
+                w, rgb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         trans = trans * cp_incl[-1:, :]
 
         cw = jnp.max(w, axis=0, keepdims=True)

@@ -97,7 +97,8 @@ class BaseRender:
             f"{path}.mp4 -loglevel quiet"
         )
         print(cmd)
-        os.system(cmd)
+        if os.system(cmd) != 0 or not os.path.exists(path + ".mp4"):
+            _cv2_video_fallback(path, fps)
 
 
 class NaiveRendererAndLoss(BaseRender):
@@ -291,3 +292,26 @@ def _batch_size(batch) -> int:
 def _index_batch(val, bn):
     arr = np.asarray(val)
     return arr[bn]
+
+
+def _cv2_video_fallback(path, fps=30):
+    """mp4 via OpenCV when ffmpeg is absent (same frames, mp4v codec)."""
+    import glob
+
+    import cv2
+
+    frames = sorted(glob.glob(os.path.join(path, "*.jpg")))
+    if not frames:
+        return
+    first = cv2.imread(frames[0])
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(
+        path + ".mp4", cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not vw.isOpened():
+        print(f"[make_video] cv2 writer failed for {path}.mp4")
+        return
+    for f in frames:
+        vw.write(cv2.imread(f))
+    vw.release()
+    print(f"[make_video] wrote {path}.mp4 via cv2 ({len(frames)} frames)")
