@@ -48,7 +48,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 512  # pair columns per grid step
-W = 768  # run window (>= 513 + 127 alignment slack; multiple of 128)
+# run window: intersecting runs occupy indices [lo, lo + 512] (one
+# straddler + at most 512 starters, counts >= 1), and the 128-aligned
+# window start sits at most 127 before lo — so 640 lanes exactly cover
+# the worst case. Multiple of 128; each extra 128 costs ~4 MXU passes.
+W = 640
 N_IN_ROWS = 16  # 13 caller rows + offs + offs_next + 1 spare
 
 

@@ -92,3 +92,27 @@ def test_expand_vjp_matches_jnp():
     g_p = np.asarray(jax.grad(f_pallas)(vals))
     g_j = np.asarray(jax.grad(f_jnp)(vals))
     np.testing.assert_allclose(g_p, g_j, rtol=2e-4, atol=2e-4)
+
+
+def test_expand_window_worst_case():
+    """Adversarial W=640 bound: a straddler at maximum window
+    misalignment (lo = 127, w0 = 0) followed by 512 count-1 runs — the
+    furthest needed run sits at index lo+512 = 639 = the window's last
+    lane."""
+    A = CHUNK * 4
+    counts = np.concatenate([
+        np.ones(127, np.int64),      # runs 0..126: [0, 127)
+        [386],                       # run 127: [127, 513) straddles chunk 1
+        np.ones(A - 513, np.int64),  # count-1 runs from 513
+    ])
+    P = counts.shape[0]
+    offs_np = np.cumsum(counts) - counts
+    total = int(offs_np[-1] + counts[-1])
+    assert total == A
+    offs = jnp.asarray(offs_np.astype(np.int32))
+    vals = jnp.asarray(
+        np.arange(P, dtype=np.float32)[None, :].repeat(2, 0)
+    )
+    got = np.asarray(piecewise_expand_pallas(vals, offs, A, interpret=True))
+    r = np.searchsorted(offs_np, np.arange(A), side="right") - 1
+    np.testing.assert_array_equal(got[:, :total], np.asarray(vals)[:, r])
