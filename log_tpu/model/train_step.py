@@ -344,6 +344,16 @@ def _train_step_core(
         slices, offset0, correction
     )
     g_slices, g_offset, g_corr = grads
+    # non-finite guard: one bad step (degenerate splat, overflow) must not
+    # poison the whole model through Adam moments — zero the gradients and
+    # mask the update instead (the loss metric still reports the NaN so
+    # the trainer's log shows the event)
+    loss_ok = jnp.isfinite(loss)
+    g_slices = jax.tree.map(
+        lambda g: jnp.where(loss_ok, g, jnp.zeros((), g.dtype)), g_slices
+    )
+    g_offset = jnp.where(loss_ok, g_offset, 0.0)
+    g_corr = jnp.where(loss_ok, g_corr, 0.0)
 
     counter = update_counter(
         counter,
@@ -355,7 +365,9 @@ def _train_step_core(
     )
 
     flag_vis = aux["radii"] > 0
-    update_mask = lane_valid & flag_vis & (jnp.arange(K) < cfg.k_leaf)
+    update_mask = (
+        lane_valid & flag_vis & (jnp.arange(K) < cfg.k_leaf) & loss_ok
+    )
     params, moments = sparse_adam_step(
         params, moments, g_slices, index, update_mask, global_step, lrs
     )

@@ -91,8 +91,12 @@ def project_gaussians(
         if use_filter:
             ucxx, ucxy, ucyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="add")
             det_f = ucxx * ucyy - ucxy * ucxy
+            # 1e-12 floor: d sqrt(x) -> inf at x = 0, and degenerate
+            # (deep-split) splats reach det_raw ~ 0 — the floor clamps the
+            # gradient instead of emitting inf (comp itself stays ~1e-6)
             comp = jnp.sqrt(
-                jnp.maximum(det_raw, 0.0) / jnp.where(det_f != 0.0, det_f, 1.0)
+                jnp.maximum(det_raw, 1e-12)
+                / jnp.where(det_f != 0.0, det_f, 1.0)
             )
         else:
             ucxx, ucxy, ucyy = cxx, cxy, cyy
