@@ -342,7 +342,26 @@ class LoG:
             max_pairs=pick_max_pairs(k_total),
             render_depth=render_depth and gt_depth is not None,
             crop_loss=fg_mask is not None,
+            spilled=self.optimizer.spilled,
         )
+        m_slices = None
+        if self.optimizer.spilled:
+            # host-moment (spill) mode: gather the visible rows' moment
+            # slices on the host before the step (reference CPU-offload
+            # analog, LoG/model/splitter.py:198-204). Index order matches
+            # _compact_slices_sort: kept positions ascending, padded with
+            # the cap sentinel.
+            host_index = _host_compact_index(
+                np.asarray(vf["keep_leaf"]), cfg.k_leaf, self.capacity
+            )
+            if cfg.k_node > 0:
+                host_index = np.concatenate([
+                    host_index,
+                    _host_compact_index(
+                        np.asarray(vf["keep_node"]), cfg.k_node, self.capacity
+                    ),
+                ])
+            m_slices = self.optimizer.host_gather(host_index)
         fg_dev = bbox_dev = None
         if fg_mask is not None:
             fg_dev, bbox_dev = _fg_mask_bbox(
@@ -390,11 +409,17 @@ class LoG:
             cfg,
             fg_mask=fg_dev,
             bbox=bbox_dev,
+            m_slices=m_slices,
         )
         for k, v in params.items():
             self.gaussian.set(k, v)
         self.optimizer.moments = moments
         self.counter.data = counter
+        if cfg.spilled:
+            self.optimizer.host_scatter(
+                host_index, aux.pop("m_slices"),
+                np.asarray(aux.pop("update_mask")),
+            )
         if cfg.use_correction:
             self._corr_dev = corr_state
         return metrics, aux
@@ -418,6 +443,15 @@ class LoG:
         from ..render.renderer import camera_device
         from ..ops import pick_backend, pick_max_pairs
 
+        if self.optimizer is not None and self.optimizer.spilled:
+            # spill (host-moment) mode needs the visible index on the host
+            # BEFORE the step — use the two-phase prepare + step path
+            self.prepare_from_camera(camera)
+            return self.train_step(
+                camera, gt_image, background, mask_ignore=mask_ignore,
+                view_index=view_index, gt_depth=gt_depth,
+                render_depth=render_depth, fg_mask=fg_mask,
+            )
         if self._bucket is None:
             self.prepare_from_camera(camera)
             vf = self.visibility_flag
@@ -735,6 +769,10 @@ class LoG:
         round trip when the model is large (the reference's CPU rebuild
         analog costs ~110 s at 2.4M points through a remote-TPU tunnel).
         densify_and_remove.device_densify: on|off|auto (auto: >= 512k cap)."""
+        if self.optimizer is not None and self.optimizer.spilled:
+            # spilled moments live in host numpy — only the host rebuild
+            # path updates them consistently
+            return False
         mode = self.densify_and_remove.get("device_densify", "auto")
         if mode in (True, "on", "true", 1):
             return True
@@ -1100,6 +1138,14 @@ class LoG:
         ) % densify_every_iter == 0
 
     def update_by_iteration(self, iteration, global_iteration):
+        mutated = self._update_by_iteration(iteration, global_iteration)
+        if mutated and self.optimizer is not None:
+            # automatic host offload past the HBM capacity thresholds
+            # (reference: LoG/model/splitter.py:198-204)
+            self.optimizer.maybe_spill(self.num_points)
+        return mutated
+
+    def _update_by_iteration(self, iteration, global_iteration):
         """Densify/SH/tree schedule (LoG/model/level_of_gaussian.py:535-565)."""
         d = self.densify_and_remove
         base_iter = self.base_iter
@@ -1224,6 +1270,17 @@ def _fg_mask_bbox(fg_mask, H, W):
         jnp.asarray(m.astype(np.uint8))[None],
         jnp.asarray(bbox),
     )
+
+def _host_compact_index(keep: np.ndarray, k: int, cap: int) -> np.ndarray:
+    """Host replica of _compact_slices_sort's index: kept positions
+    ascending, truncated/padded to k with the cap sentinel."""
+    idx = np.nonzero(keep)[0][:k].astype(np.int32)
+    if idx.shape[0] < k:
+        idx = np.concatenate(
+            [idx, np.full(k - idx.shape[0], cap, np.int32)]
+        )
+    return idx
+
 
 def _host_lrs(optimizer: SparseOptimizer, step) -> dict:
     """Per-key LR values for this step (host floats -> traced scalars)."""

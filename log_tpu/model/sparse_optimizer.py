@@ -85,6 +85,8 @@ def sparse_adam_step(
     global_step,
     lrs: dict,
     eps: float = 1e-15,
+    spilled: tuple = (),
+    m_slices: dict | None = None,
 ):
     """Gather -> Adam -> scatter over the big arrays; pure function.
 
@@ -96,6 +98,15 @@ def sparse_adam_step(
     update_mask: (K,) bool — e.g. `radii > 0` (the reference's flag_vis;
       LoG/model/level_of_gaussian.py:379-392).
     Returns (new_params, new_moments).
+
+    spilled/m_slices: host moment offload (the reference's 50M/100M-point
+    CPU spill, LoG/model/splitter.py:198-204). For each moment kind in
+    `spilled` ('exp_avg'/'exp_avg_sq') the capacity array is NOT in HBM;
+    the caller passes the pre-gathered (K, ...) per-key slices in
+    m_slices[kind] and receives the updated slices back (third return
+    value) to scatter host-side. Masked lanes' returned slices carry the
+    GATHERED (unchanged) values so a blanket host scatter is a no-op for
+    them.
     """
     sentinel = params[next(iter(params))].shape[0]
     idx = jnp.where(update_mask, index, sentinel)
@@ -112,40 +123,59 @@ def sparse_adam_step(
         return a.reshape(a.shape[0], -1)
 
     p_cat = jnp.concatenate([flat(params[k]) for k in keys], axis=1)
-    m1_cat = jnp.concatenate(
-        [flat(moments["exp_avg"][k]) for k in keys], axis=1
-    )
-    m2_cat = jnp.concatenate(
-        [flat(moments["exp_avg_sq"][k]) for k in keys], axis=1
-    )
     g_cat = jnp.concatenate([flat(grads[k]) for k in keys], axis=1)
     lr_cols = jnp.concatenate(
         [jnp.broadcast_to(jnp.asarray(lrs[k], jnp.float32), (d,))
          for k, d in zip(keys, dims)]
     )
 
+    def moment_slice(kind):
+        if kind in spilled:
+            return None, jnp.concatenate(
+                [flat(m_slices[kind][k]) for k in keys], axis=1
+            )
+        cat = jnp.concatenate(
+            [flat(moments[kind][k]) for k in keys], axis=1
+        )
+        return cat, cat.at[idx].get(mode="fill", fill_value=0.0)
+
+    m1_cat, m1 = moment_slice("exp_avg")
+    m2_cat, m2 = moment_slice("exp_avg_sq")
     p = p_cat.at[idx].get(mode="fill", fill_value=0.0)
-    m1 = m1_cat.at[idx].get(mode="fill", fill_value=0.0)
-    m2 = m2_cat.at[idx].get(mode="fill", fill_value=0.0)
-    p, m1, m2, _ = adam_slice_update(
+    p, m1_u, m2_u, _ = adam_slice_update(
         p, g_cat, m1, m2, global_step, lr_cols[None, :], eps=eps
     )
+    # masked lanes keep gathered values so a blanket host scatter is a no-op
+    m1_n = jnp.where(update_mask[:, None], m1_u, m1)
+    m2_n = jnp.where(update_mask[:, None], m2_u, m2)
     p_cat = p_cat.at[idx].set(p, mode="drop")
-    m1_cat = m1_cat.at[idx].set(m1, mode="drop")
-    m2_cat = m2_cat.at[idx].set(m2, mode="drop")
+    if m1_cat is not None:
+        m1_cat = m1_cat.at[idx].set(m1_u, mode="drop")
+    if m2_cat is not None:
+        m2_cat = m2_cat.at[idx].set(m2_u, mode="drop")
 
-    p_parts = jnp.split(p_cat, splits, axis=1)
-    m1_parts = jnp.split(m1_cat, splits, axis=1)
-    m2_parts = jnp.split(m2_cat, splits, axis=1)
+    def unflatten(cat):
+        parts = jnp.split(cat, splits, axis=1)
+        return {
+            k: parts[i].reshape((cat.shape[0],) + shapes[k])
+            for i, k in enumerate(keys)
+        }
+
     new_params = dict(params)
-    new_exp_avg = dict(moments["exp_avg"])
-    new_exp_avg_sq = dict(moments["exp_avg_sq"])
-    for i, k in enumerate(keys):
-        shp = (p_parts[i].shape[0],) + shapes[k]
-        new_params[k] = p_parts[i].reshape(shp)
-        new_exp_avg[k] = m1_parts[i].reshape(shp)
-        new_exp_avg_sq[k] = m2_parts[i].reshape(shp)
-    return new_params, {"exp_avg": new_exp_avg, "exp_avg_sq": new_exp_avg_sq}
+    new_params.update(unflatten(p_cat))
+    new_moments = {"exp_avg": dict(moments["exp_avg"]),
+                   "exp_avg_sq": dict(moments["exp_avg_sq"])}
+    out_slices = {}
+    for kind, cat, sl in (
+        ("exp_avg", m1_cat, m1_n), ("exp_avg_sq", m2_cat, m2_n)
+    ):
+        if kind in spilled:
+            out_slices[kind] = unflatten(sl)
+        else:
+            new_moments[kind].update(unflatten(cat))
+    if spilled:
+        return new_params, new_moments, out_slices
+    return new_params, new_moments
 
 
 class SparseOptimizer:
@@ -155,13 +185,23 @@ class SparseOptimizer:
     per-key constant LRs otherwise, xyz scaled by xyz_scale).
     """
 
-    def __init__(self, optimize_keys, lr_dict, model, xyz_scale=None):
+    def __init__(self, optimize_keys, lr_dict, model, xyz_scale=None,
+                 spill_points=50_000_000, spill_points_full=100_000_000):
         self.optimize_keys = list(optimize_keys)
         self.lr_dict = dict(lr_dict)
         self.global_steps = 0
         self.xyz_scale = xyz_scale if xyz_scale is not None else 1.0
         self.max_steps = int(lr_dict.get("max_steps", 1_000_000))
         self.xyz_lr = self.lr_dict.get("xyz", 0.0) * self.xyz_scale
+        # automatic host offload thresholds (reference: exp_avg_sq past 50M
+        # points, exp_avg too past 100M — LoG/model/splitter.py:198-204).
+        # Near the HBM ceiling training degrades to a two-phase step with
+        # host-resident moments instead of OOMing.
+        self.spill_points = int(lr_dict.get("spill_points", spill_points))
+        self.spill_points_full = int(
+            lr_dict.get("spill_points_full", spill_points_full)
+        )
+        self.spilled: tuple = ()
         cap = model.capacity
         self.moments = {
             "exp_avg": {},
@@ -205,23 +245,76 @@ class SparseOptimizer:
 
     # ---------------------------------------------------------- host moves
     def to_host(self, keys=("exp_avg_sq",)) -> None:
-        """Optional capacity fallback mirroring splitter.py:198-204."""
+        """Move moment kinds to host numpy and free their HBM
+        (mirrors splitter.py:198-204). The training step then runs in
+        spill mode: host gather -> device Adam on slices -> host scatter."""
+        self.host_moments = getattr(self, "host_moments", {})
         for mk in keys:
-            self.moments[mk] = {
-                k: np.asarray(v) for k, v in self.moments[mk].items()
+            if mk in self.spilled:
+                continue
+            self.host_moments[mk] = {
+                # np.array: asarray of a device buffer is a READ-ONLY view
+                k: np.array(v) for k, v in self.moments[mk].items()
             }
+            self.moments[mk] = {}  # free HBM
+            self.spilled = tuple(sorted(set(self.spilled) | {mk}))
+
+    def maybe_spill(self, num_points: int) -> bool:
+        """Auto-spill hook: call after capacity growth (densify). Returns
+        True if a spill happened this call."""
+        did = False
+        if num_points > self.spill_points and "exp_avg_sq" not in self.spilled:
+            print(f"[{self.__class__.__name__}] {num_points} points > "
+                  f"{self.spill_points}: spilling exp_avg_sq to host")
+            self.to_host(("exp_avg_sq",))
+            did = True
+        if (num_points > self.spill_points_full
+                and "exp_avg" not in self.spilled):
+            print(f"[{self.__class__.__name__}] {num_points} points > "
+                  f"{self.spill_points_full}: spilling exp_avg to host")
+            self.to_host(("exp_avg",))
+            did = True
+        return did
+
+    def host_gather(self, index: np.ndarray) -> dict:
+        """Gather (K, ...) moment slices for every spilled kind. Out-of-
+        range sentinel lanes read row 0 (their updates are masked)."""
+        out = {}
+        for mk in self.spilled:
+            rows = {}
+            for k, arr in self.host_moments[mk].items():
+                idx = np.clip(index, 0, arr.shape[0] - 1)
+                rows[k] = jnp.asarray(arr[idx])
+            out[mk] = rows
+        return out
+
+    def host_scatter(self, index: np.ndarray, slices: dict,
+                     mask: np.ndarray) -> None:
+        """Write updated (K, ...) slices back into the host arrays where
+        mask is True."""
+        sel = np.asarray(mask, bool)
+        idx = np.asarray(index)[sel]
+        for mk, rows in slices.items():
+            for k, sl in rows.items():
+                self.host_moments[mk][k][idx] = np.asarray(sl)[sel]
 
     def set_numpy(self, moments: dict, capacity: int) -> None:
         from .gaussian import pad_rows
 
         for mk in ("exp_avg", "exp_avg_sq"):
             for key, val in moments.get(mk, {}).items():
-                self.moments[mk][key] = jnp.asarray(
-                    pad_rows(np.asarray(val), capacity)
-                )
+                padded = pad_rows(np.asarray(val), capacity)
+                if mk in self.spilled:
+                    self.host_moments[mk][key] = np.array(padded)
+                else:
+                    self.moments[mk][key] = jnp.asarray(padded)
 
     def to_numpy(self, num_points: int) -> dict:
-        return {
-            mk: {k: np.asarray(v)[:num_points] for k, v in d.items()}
-            for mk, d in self.moments.items()
-        }
+        out = {}
+        for mk in ("exp_avg", "exp_avg_sq"):
+            src = (
+                self.host_moments[mk] if mk in self.spilled
+                else self.moments[mk]
+            )
+            out[mk] = {k: np.asarray(v)[:num_points] for k, v in src.items()}
+        return out

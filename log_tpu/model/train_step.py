@@ -50,6 +50,10 @@ class StepConfig:
     # sort cost is flat in payload count, ~13x cheaper than nonzero + row
     # gather at multi-M capacity) or 'nonzero' (the original construction)
     compact_method: str = "sort"
+    # moment kinds spilled to host (the reference's 50M/100M CPU offload,
+    # LoG/model/splitter.py:198-204): their slices arrive as step inputs
+    # and leave as step outputs instead of living in HBM
+    spilled: tuple = ()
 
 
 UNIT_QUAT = (1.0, 0.0, 0.0, 0.0)
@@ -212,6 +216,7 @@ def _train_step_core(
     cfg: StepConfig,
     fg_mask: jax.Array | None = None,  # (1, H, W) foreground mask (crop_loss)
     bbox: jax.Array | None = None,  # (4,) int32 [top, bottom, left, right]
+    m_slices: dict | None = None,  # spilled-moment (K, ...) slices
 ):
     """Returns (params, moments, counter, corr_state, metrics, aux)."""
     cap = params["xyz"].shape[0]
@@ -368,9 +373,16 @@ def _train_step_core(
     update_mask = (
         lane_valid & flag_vis & (jnp.arange(K) < cfg.k_leaf) & loss_ok
     )
-    params, moments = sparse_adam_step(
-        params, moments, g_slices, index, update_mask, global_step, lrs
-    )
+    if cfg.spilled:
+        params, moments, out_m_slices = sparse_adam_step(
+            params, moments, g_slices, index, update_mask, global_step,
+            lrs, spilled=cfg.spilled, m_slices=m_slices,
+        )
+    else:
+        params, moments = sparse_adam_step(
+            params, moments, g_slices, index, update_mask, global_step, lrs
+        )
+        out_m_slices = {}
 
     # clamp scaling into [radius3d_min, radius3d_max]
     # (LoG/model/level_of_gaussian.py:367-377)
@@ -420,6 +432,9 @@ def _train_step_core(
         "radii": aux["radii"],
         "index": index,
     }
+    if cfg.spilled:
+        step_aux["m_slices"] = out_m_slices
+        step_aux["update_mask"] = update_mask
     return params, moments, counter, corr_state, metrics, step_aux
 
 
@@ -443,11 +458,12 @@ def fused_train_step(
     cfg: StepConfig,
     fg_mask=None,
     bbox=None,
+    m_slices=None,
 ):
     return _train_step_core(
         params, moments, counter, keep_leaf, keep_node, cam, gt, background,
         lrs, global_step, corr_state, view_index, mask_ignore, gt_depth,
-        rng_key, cfg, fg_mask=fg_mask, bbox=bbox,
+        rng_key, cfg, fg_mask=fg_mask, bbox=bbox, m_slices=m_slices,
     )
 
 

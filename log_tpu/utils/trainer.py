@@ -45,6 +45,7 @@ class Trainer:
         self.cfg = cfg
         self.exp = cfg.exp
         os.makedirs(self.exp, exist_ok=True)
+        self._acquire_exp_lock()
         self.model = model
         self.render = render
         self.recorder = Recorder(logdir)
@@ -68,6 +69,37 @@ class Trainer:
         self.parallel_cfg = dict(cfg.train.get("parallel", {}) or {}) \
             if "train" in cfg else {}
         self.executor = None
+
+    def _acquire_exp_lock(self):
+        """Exclusive flock on <exp>/.lock for the life of this process.
+
+        Two trainers sharing one exp dir interleave scalars.jsonl, clobber
+        checkpoints, and (on a single-session TPU) corrupt each other's
+        device state — the round-2 NaN postmortem's root cause. A second
+        trainer now fails fast instead. The lock is advisory (flock), auto-
+        released on process death, and holds the owner PID for diagnostics.
+        """
+        import fcntl
+
+        path = os.path.join(self.exp, ".lock")
+        fd = os.open(path, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            owner = "?"
+            try:
+                owner = os.read(fd, 64).decode().strip() or "?"
+            except OSError:
+                pass
+            os.close(fd)
+            raise RuntimeError(
+                f"experiment dir {self.exp!r} is locked by a running "
+                f"trainer (pid {owner}); refusing to start a second one"
+            )
+        os.ftruncate(fd, 0)
+        os.write(fd, f"{os.getpid()}\n".encode())
+        os.fsync(fd)
+        self._exp_lock_fd = fd  # keep open: lock lives with the process
 
     def _parallel_requested(self):
         if not self.parallel_cfg:
@@ -381,8 +413,15 @@ class Trainer:
                 pred = jnp.clip(pred * gain[:, None, None], 0.0, 1.0)
             l1_dev = jnp.mean(jnp.abs(pred - gt))
             mse_dev = jnp.mean((pred - gt) ** 2)
+            # SSIM on device (BASELINE.md protocol: reference-matching
+            # PSNR/SSIM; the reference's val loop logs l1/psnr only —
+            # LoG/utils/trainer.py:319-346 — SSIM here EXCEEDS it)
+            from ..ops.ssim import ssim_map
+
+            ssim_dev = jnp.mean(ssim_map(pred, gt))
             metric["l1"].append(float(l1_dev))
             metric["psnr"].append(float(-10 * jnp.log10(jnp.maximum(mse_dev, 1e-12))))
+            metric["ssim"].append(float(ssim_dev))
             metric["imgname"].append(_data["imgname"][0])
             if visualize and self.save_vis:
                 os.makedirs(logdir, exist_ok=True)
