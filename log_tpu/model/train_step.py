@@ -580,6 +580,7 @@ def fused_prepare_train_step(
         "prep_backend",
         "prep_max_pairs",
         "use_filter",
+        "check_cull",
     ),
 )
 def fused_prepare_render(
@@ -606,6 +607,7 @@ def fused_prepare_render(
     prep_backend: str = "tiled",
     prep_max_pairs: int = 1 << 20,
     use_filter: bool = False,
+    check_cull: bool = True,
 ):
     """Inference: LoD cut + slice gather + activation + render in ONE
     executable — zero per-frame host syncs (the demo/viewer/bench hot path;
@@ -671,21 +673,28 @@ def fused_prepare_render(
             cols, keep, k_visible
         )
         root_id_sl = slices.pop("root_id")[:, 0]
-        R = n_roots if 0 < n_roots <= cap else cap
-        xyz_r = params["xyz"][:R]
-        cand = (
-            gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
-            & (tree_arrays["index_parent"][:R] == -1)
-            & alive[:R]
-        )
-        weight_ok = _check_root_weights(
-            xyz_r, jax.nn.sigmoid(params["opacity"][:R, 0]),
-            scaling_full[:R], rotation_full[:R], cand, cam,
-            image_height, image_width, mode, prep_backend, prep_max_pairs,
-            check_scale,
-        )
-        w_sl = jnp.take(weight_ok, jnp.clip(root_id_sl, 0, R - 1))
-        lane_valid = lane_prefix & w_sl
+        if check_cull:
+            R = n_roots if 0 < n_roots <= cap else cap
+            xyz_r = params["xyz"][:R]
+            cand = (
+                gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
+                & (tree_arrays["index_parent"][:R] == -1)
+                & alive[:R]
+            )
+            weight_ok = _check_root_weights(
+                xyz_r, jax.nn.sigmoid(params["opacity"][:R, 0]),
+                scaling_full[:R], rotation_full[:R], cand, cam,
+                image_height, image_width, mode, prep_backend,
+                prep_max_pairs, check_scale,
+            )
+            w_sl = jnp.take(weight_ok, jnp.clip(root_id_sl, 0, R - 1))
+            lane_valid = lane_prefix & w_sl
+        else:
+            # check_cull=False skips the weight-render cull (a conservative
+            # occlusion cull: it only drops roots whose max blend weight is
+            # < 1e-8, so the image changes below 8-bit visibility) — both a
+            # perf knob and the contract of the multi-chip sharded render
+            lane_valid = lane_prefix
     else:
         keep_leaf, keep_node, counts = _prepare_core(
             params, tree_arrays, cam, n_alive, is_leaf_opt,

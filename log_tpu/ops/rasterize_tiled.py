@@ -336,9 +336,15 @@ def _piecewise_expand_sort_rows(values, offsets, length):
     return [r[:A] for r in sorted2[1:]]
 
 
-def build_pairs(splats, colors, image_height, image_width, max_pairs,
-                runs_tail_only=False, active_prefix=None, interpret=False):
-    """Expansion + sort. Returns pair tables for the kernels.
+def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
+                      runs_tail_only=False, active_prefix=None,
+                      interpret=False):
+    """First half of build_pairs: rects -> gather-free pair expansion ->
+    ONE sort by (tile, depth, gid). Returns a dict of SORTED 1-D pair rows
+    (tile_s int32 with `num_tiles` as the tail sentinel, gid_s, values_s —
+    the 10 splat-value rows — and perm_s) plus grid geometry. Used directly
+    by the multi-chip point-sharded render (parallel/sharded_render.py),
+    which exchanges the sorted rows between band owners BEFORE packing.
 
     All pair-axis arrays have static length `max_pairs` (+ one spare chunk
     for tail DMA overrun).
@@ -467,7 +473,26 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs,
     tile_s, gid_s, values_s, perm_s = sort_pairs(
         tile_id, depth_key, gid_pc, val_pc, num_tiles
     )
+    return {
+        "tile_s": tile_s,
+        "gid_s": gid_s,
+        "values_s": values_s,
+        "perm_s": perm_s,
+        "real": real,
+        "tiles_x": tiles_x,
+        "tiles_y": tiles_y,
+        "num_tiles": num_tiles,
+        "radius": radius,
+        "valid": valid,
+    }
 
+
+def pack_sorted_pairs(tile_s, gid_s, values_s, tiles_x, tiles_y,
+                      interpret=False):
+    """Second half of build_pairs: per-tile start/count tables + the packed
+    (16, A + spare) kernel input from sorted pair rows."""
+    num_tiles = tiles_x * tiles_y
+    A = tile_s.shape[0]
     # one searchsorted over num_tiles+1 boundaries; counts are the diffs
     arange_t1 = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
@@ -492,14 +517,30 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs,
     return {
         "pair_data": pair_data,  # (16, A + 128)
         "pair_gid": gid_s,  # (A,) original gaussian ids, garbage on tail
-        "pair_real": real,  # pre-sort real mask (for reference)
         "tile_start": tile_start,
         "tile_count": (tile_end - tile_start),
         "tiles_x": tiles_x,
         "tiles_y": tiles_y,
-        "radius": radius,
-        "valid": valid,
     }
+
+
+def build_pairs(splats, colors, image_height, image_width, max_pairs,
+                runs_tail_only=False, active_prefix=None, interpret=False):
+    """Expansion + sort + packing: the full binning stage (see
+    expand_sort_pairs for the contract notes)."""
+    es = expand_sort_pairs(
+        splats, colors, image_height, image_width, max_pairs,
+        runs_tail_only=runs_tail_only, active_prefix=active_prefix,
+        interpret=interpret,
+    )
+    packed = pack_sorted_pairs(
+        es["tile_s"], es["gid_s"], es["values_s"], es["tiles_x"],
+        es["tiles_y"], interpret=interpret,
+    )
+    packed["pair_real"] = es["real"]  # pre-sort real mask (for reference)
+    packed["radius"] = es["radius"]
+    packed["valid"] = es["valid"]
+    return packed
 
 
 # --------------------------------------------------------------------------

@@ -311,6 +311,47 @@ def main():
         w = jnp.arange(color.shape[2], dtype=jnp.float32) * 1e-6
         return jnp.sum(color[0] * w[None, :])
 
+    @jax.jit
+    def stage_check8(params, tree_arrays, cam):
+        # check render at 1/8 resolution with a halved pair budget — the
+        # 1e-8 weight cull is a coarse occlusion test
+        alive = jnp.arange(cap) < n_alive
+        R = n_roots_bucket
+        rx = tree_arrays["root_xyz"]
+        rpx, rpy, rpz, _ = gm.project_ndc_c(
+            rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
+        )
+        scaling_full = jnp.exp(params["scaling"][:R])
+        rotation_full = params["rotation"][:R] / jnp.maximum(
+            jnp.linalg.norm(params["rotation"][:R], axis=-1, keepdims=True),
+            1e-12,
+        )
+        cand = (
+            gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
+            & (tree_arrays["index_parent"][:R] == -1)
+            & alive[:R]
+        )
+        ok = ts._check_root_weights(
+            params["xyz"][:R], jax.nn.sigmoid(params["opacity"][:R, 0]),
+            scaling_full, rotation_full, cand, cam, H, W, "antialias",
+            "tiled", 1 << 18, 8,
+        )
+        w = jnp.arange(R, dtype=jnp.float32) * 1e-6
+        return jnp.sum(jnp.where(ok, w, 0.0))
+
+    @jax.jit
+    def stage_fused2(params, tree_arrays, cam):
+        # exactly make_slices + stage_render composed in ONE executable —
+        # if this matches `full`, the replicas are faithful and the halves
+        # gap is real fusion overhead; if it matches the halves sum,
+        # fused_prepare_render does extra work the replicas skip
+        slices, lane_prefix, lane_valid = make_slices.__wrapped__(
+            params, tree_arrays, cam
+        )
+        return stage_render.__wrapped__(
+            slices, lane_prefix, lane_valid, cam, with_kernel=True
+        )
+
     def full_frame(cam):
         img, _, _ = ts.fused_prepare_render(
             params, tree_dev, cam, k_visible=k_vis, max_pairs=max_pairs,
@@ -353,6 +394,15 @@ def main():
     if "kernel" in PHASES:
         results["kernel"] = bench(
             "kernel only", stage_kernel, pd, tstart, tcount
+        )
+    if "check8" in PHASES:
+        results["check8"] = bench(
+            "check @1/8 res", stage_check8, params, tree_dev, pcam
+        )
+    if "fused2" in PHASES:
+        results["fused2"] = bench(
+            "fused halves (one executable)", stage_fused2, params,
+            tree_dev, pcam,
         )
     if "trace" in PHASES:
         import jax.profiler

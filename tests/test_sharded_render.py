@@ -1,0 +1,112 @@
+"""Multi-chip point-sharded render == single-chip frame (fp tolerance).
+
+The sharded path (parallel/sharded_render.py) cuts/compacts/expands on each
+point shard, exchanges pairs to image-band owners, merge-sorts and runs the
+unmodified kernel per band. Pair ordering matches the single-chip sort
+exactly (one pair per (gaussian, tile); exact 3-key sort on CPU), so the
+image must match `fused_prepare_render(check_cull=False)` up to
+chunk-boundary fp regrouping.
+"""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from log_tpu.model.gaussian import next_capacity
+from log_tpu.model.train_step import fused_prepare_render
+from log_tpu.parallel.sharded_render import (
+    ShardedRenderConfig,
+    sharded_render_frame,
+)
+from log_tpu.dataset.base import prepare_camera
+from log_tpu.render.renderer import camera_device
+from log_tpu.utils.synth_tree import padded_model_device, tree_sizes
+
+H, W = 64, 128
+N_ROOTS = 2000
+MIN_RES = 2.0
+
+
+def make_cam(theta=0.7, height=18.0, radius=22.0):
+    pos = np.array([radius * math.cos(theta), radius * math.sin(theta), height])
+    fwd = -pos / np.linalg.norm(pos)
+    right = np.cross(fwd, np.array([0, 0, 1.0]))
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd])
+    T = (-R @ pos).reshape(3, 1)
+    K = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]])
+    cam = {"K": K, "R": R, "T": T, "H": H, "W": W, "center": pos.reshape(3, 1)}
+    return camera_device(prepare_camera(cam, 1, 0.01, 1000.0))
+
+
+@pytest.fixture(scope="module")
+def scene():
+    _, _, n = tree_sizes(N_ROOTS)
+    cap = next_capacity(n)
+    assert cap % 8 == 0
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(3), N_ROOTS, cap
+    )
+    return params, tree_dev, is_leaf_opt, n, cap
+
+
+def single_chip(scene, cam):
+    params, tree_dev, is_leaf_opt, n, cap = scene
+    img, alpha, counts = fused_prepare_render(
+        params, tree_dev, cam,
+        n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
+        min_resolution_pixel=jnp.float32(MIN_RES),
+        current_depth=jnp.int32(20),
+        background=jnp.zeros(3, jnp.float32),
+        image_height=H, image_width=W, k_visible=cap,
+        sh_degree=0, stage_has_tree=True, num_levels=3,
+        backend="tiled", max_pairs=1 << 17,
+        cut_method="flat_slice", n_roots=min(next_capacity(N_ROOTS), cap),
+        prep_backend="tiled", prep_max_pairs=1 << 15,
+        check_scale=4, check_cull=False,
+    )
+    return np.asarray(img), np.asarray(alpha), counts
+
+
+def test_sharded_matches_single_chip(scene):
+    params, tree_dev, is_leaf_opt, n, cap = scene
+    cam = make_cam()
+    ref_img, ref_alpha, counts = single_chip(scene, cam)
+
+    cfg = ShardedRenderConfig(
+        image_height=H, image_width=W, n_devices=8,
+        k_local=cap // 8, max_pairs_local=1 << 14, bucket_pairs=1 << 12,
+        sh_degree=0, min_res_pixel=MIN_RES,
+    )
+    img, alpha, stats = sharded_render_frame(
+        params, tree_dev, cam, n, MIN_RES, 20, jnp.zeros(3), cfg
+    )
+    stats = np.asarray(stats)
+    assert stats[2] == 0, f"bucket overflow {stats}"
+    # same cut
+    assert stats[0] == int(np.asarray(counts).sum())
+    # tolerance: the inference kernel's bf16 cumprod regroups products at
+    # different chunk boundaries per band -> ~1e-3 worst-case pixel delta
+    np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(alpha), ref_alpha, atol=2e-3)
+
+
+def test_sharded_second_camera(scene):
+    """Different viewpoint (different band loads) still matches."""
+    params, tree_dev, is_leaf_opt, n, cap = scene
+    cam = make_cam(theta=2.4, height=10.0, radius=28.0)
+    ref_img, _, _ = single_chip(scene, cam)
+    cfg = ShardedRenderConfig(
+        image_height=H, image_width=W, n_devices=8,
+        k_local=cap // 8, max_pairs_local=1 << 14, bucket_pairs=1 << 12,
+        sh_degree=0, min_res_pixel=MIN_RES,
+    )
+    img, _, stats = sharded_render_frame(
+        params, tree_dev, cam, n, MIN_RES, 20, jnp.zeros(3), cfg
+    )
+    assert np.asarray(stats)[2] == 0
+    np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-3)
