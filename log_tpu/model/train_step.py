@@ -774,7 +774,55 @@ def _check_root_weights(
     # threshold is a coarse occlusion test; urban configs set check_scale=4)
     chk_h = max(image_height // check_scale, 8)
     chk_w = max(image_width // check_scale, 128)
-    check_kwargs = dict(
+    if backend == "tiled":
+        from ..ops.rasterize_tiled import rasterize_tiled
+
+        # Compact the candidates to a prefix first: the binning then rides
+        # the Pallas tail-only expansion instead of the (P + A)-row
+        # merge-by-sort construction (~11 ms at R=1M), and gid_ids carries
+        # the ORIGINAL row ids so point_weight lands directly in row space
+        # (no un-compaction scatter; sorts >> scatters on TPU).
+        R = xyz.shape[0]
+        cols = {
+            "xyz": xyz, "opacity": opacity[:, None], "scaling": scaling,
+            "rotation": rotation,
+        }
+        slices, index, lane_valid = _compact_slices_sort(
+            cols, root_candidate, R
+        )
+        check = rasterize_tiled(
+            xyz=slices["xyz"],
+            colors=jnp.ones_like(slices["xyz"]),
+            opacity=slices["opacity"][:, 0],
+            scaling=slices["scaling"],
+            rotation=slices["rotation"],
+            means2d_offset=jnp.zeros((R, 2), jnp.float32),
+            world_view=cam["world_view"],
+            full_proj=cam["full_proj"],
+            focal_x=cam["focal_x"] / check_scale,
+            focal_y=cam["focal_y"] / check_scale,
+            tan_fovx=cam["tan_fovx"],
+            tan_fovy=cam["tan_fovy"],
+            background=jnp.zeros(3),
+            image_height=chk_h,
+            image_width=chk_w,
+            active_mask=lane_valid,
+            mode=mode,
+            use_filter=True,
+            max_pairs=max_pairs,
+            # "weights": the cull only needs point_weight — skip the
+            # per-pixel argmax bookkeeping of full stats mode.
+            # tight_radius: the 1e-8 weight cull only drops invisible
+            # points; truncating rects at the 1/255 contribution contour
+            # culls the same set while shrinking the pair workload
+            with_stats="weights",
+            tight_radius=True,
+            runs_tail_only=True,
+            prefix_mask=lane_valid,
+            gid_ids=index,
+        )
+        return check["point_weight"] > 1e-8
+    check = rasterize_ref.rasterize(
         xyz=xyz,
         colors=jnp.ones_like(xyz),
         opacity=opacity,
@@ -793,21 +841,8 @@ def _check_root_weights(
         active_mask=root_candidate,
         mode=mode,
         use_filter=True,
+        chunk=64,
     )
-    if backend == "tiled":
-        from ..ops.rasterize_tiled import rasterize_tiled
-
-        check = rasterize_tiled(
-            # "weights": the cull only needs point_weight — skip the
-            # per-pixel argmax bookkeeping of full stats mode.
-            # tight_radius: the 1e-8 weight cull only drops invisible
-            # points; truncating rects at the 1/255 contribution contour
-            # culls the same set while shrinking the pair workload
-            **check_kwargs, max_pairs=max_pairs, with_stats="weights",
-            tight_radius=True,
-        )
-    else:
-        check = rasterize_ref.rasterize(**check_kwargs, chunk=64)
     return check["point_weight"] > 1e-8
 
 

@@ -338,7 +338,7 @@ def _piecewise_expand_sort_rows(values, offsets, length):
 
 def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
                       runs_tail_only=False, active_prefix=None,
-                      interpret=False):
+                      interpret=False, gid_ids=None):
     """First half of build_pairs: rects -> gather-free pair expansion ->
     ONE sort by (tile, depth, gid). Returns a dict of SORTED 1-D pair rows
     (tile_s int32 with `num_tiles` as the tail sentinel, gid_s, values_s —
@@ -390,11 +390,15 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
             else jnp.ones_like(valid)
         )
         # force >= 1 pair per prefix lane; sanitize the dummy records so
-        # their alpha masks to zero in the kernel (power <= 0 test fails
-        # at px = -1e4) and they land in tile 0
+        # their alpha masks to zero (power <= 0 fails at px = -1e4) and
+        # route them to the SENTINEL tile row (y0 = tiles_y -> tile id >=
+        # num_tiles): they sort to the tail and cost the kernel nothing.
+        # (Routing them to tile 0 instead put every invalid/culled lane's
+        # dummy pair on tile 0's run — ~500k zero-alpha pairs the kernel
+        # walked to no effect at the r2 bench sizes, ~7 ms/frame.)
         n_tiles_g = jnp.where(ap, jnp.maximum(n_tiles_g, 1), 0)
         x0 = jnp.where(valid, x0, 0)
-        y0 = jnp.where(valid, y0, 0)
+        y0 = jnp.where(valid, y0, tiles_y)
         rect_w = jnp.where(valid, rect_w, 1)
         px = jnp.where(valid[:, None], px, -1e4)
 
@@ -410,11 +414,19 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
     assert tiles_x <= 32 and tiles_y <= 512, (tiles_x, tiles_y)
     w_eff = jnp.maximum(rect_w, 1)
     geo_packed = (x0 + 32 * (y0 + 512 * w_eff)).astype(jnp.float32)
+    # the id row defaults to the lane index; gid_ids overrides it with
+    # caller ids (e.g. original capacity rows) so per-gaussian stats land
+    # directly in the caller's index space — no un-compaction scatter
+    id_row = (
+        jnp.arange(P, dtype=jnp.float32)
+        if gid_ids is None
+        else gid_ids.astype(jnp.float32)
+    )
     int_rows_f = jnp.stack(
         [
             offsets.astype(jnp.float32),
             geo_packed,
-            jnp.arange(P, dtype=jnp.float32),
+            id_row,
         ],
         axis=0,
     )
@@ -525,13 +537,14 @@ def pack_sorted_pairs(tile_s, gid_s, values_s, tiles_x, tiles_y,
 
 
 def build_pairs(splats, colors, image_height, image_width, max_pairs,
-                runs_tail_only=False, active_prefix=None, interpret=False):
+                runs_tail_only=False, active_prefix=None, interpret=False,
+                gid_ids=None):
     """Expansion + sort + packing: the full binning stage (see
     expand_sort_pairs for the contract notes)."""
     es = expand_sort_pairs(
         splats, colors, image_height, image_width, max_pairs,
         runs_tail_only=runs_tail_only, active_prefix=active_prefix,
-        interpret=interpret,
+        interpret=interpret, gid_ids=gid_ids,
     )
     packed = pack_sorted_pairs(
         es["tile_s"], es["gid_s"], es["values_s"], es["tiles_x"],
@@ -1122,8 +1135,13 @@ def rasterize_tiled(
     tight_radius: bool = False,
     runs_tail_only: bool = False,
     prefix_mask=None,
+    gid_ids=None,
 ):
     """Same output contract as rasterize_ref.rasterize.
+
+    gid_ids: optional (P,) int32 — caller ids for the per-gaussian stat
+    rows (must be < P, out-of-range drops); stats then land directly in
+    the caller's index space (used by the compacted check render).
 
     runs_tail_only: promise that the lanes bearing pairs form a PREFIX
     (compacted caller slices) — routes the pair expansion to the Pallas
@@ -1144,7 +1162,7 @@ def rasterize_tiled(
         splats, colors, image_height, image_width, max_pairs,
         runs_tail_only=runs_tail_only,
         active_prefix=prefix_mask if prefix_mask is not None else active_mask,
-        interpret=interpret,
+        interpret=interpret, gid_ids=gid_ids,
     )
     color, tfinal, pid_pair, pwp, pair_w = _raster_core(
         pairs["pair_data"],
