@@ -68,8 +68,11 @@ def _expand_kernel(lo_ref, total_ref, packed_hbm, out_ref, buf, sems, *,
     n_chunks = pl.num_programs(0)
 
     def get_dma(slot, chunk):
+        # lo is FLAT (n_chunks * N_SUB,): a 2-D SMEM scalar array gets its
+        # minor dim padded to 128 lanes (4 MB at 8192 chunks > the 1 MB
+        # SMEM budget)
         w0 = pl.multiple_of(
-            (lo_ref[chunk, 0] // 128) * 128, 128
+            (lo_ref[chunk * N_SUB] // 128) * 128, 128
         )
         return pltpu.make_async_copy(
             packed_hbm.at[:, pl.ds(w0, W)], buf.at[slot], sems.at[slot]
@@ -86,10 +89,10 @@ def _expand_kernel(lo_ref, total_ref, packed_hbm, out_ref, buf, sems, *,
     slot = c % 2
     get_dma(slot, c).wait()
 
-    w0_lane = (lo_ref[c, 0] // 128) * 128
+    w0_lane = (lo_ref[c * N_SUB] // 128) * 128
     parts = []
     for g in range(N_SUB):
-        og = pl.multiple_of((lo_ref[c, g] // 128) * 128 - w0_lane, 128)
+        og = pl.multiple_of((lo_ref[c * N_SUB + g] // 128) * 128 - w0_lane, 128)
         # slice the REF (Mosaic has no dynamic_slice on values)
         dg = buf[slot, :, pl.ds(og, SUBW)]  # (16, SUBW)
         gj = (
@@ -107,6 +110,12 @@ def _expand_kernel(lo_ref, total_ref, packed_hbm, out_ref, buf, sems, *,
             jax.lax.dot_general(
                 dg, cov, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # HIGHEST: the selection must be bit-exact f32 — run
+                # offsets (row 13) and gids (row 12) are integers up to
+                # 2^24 riding f32 lanes; Mosaic lowers this shape at
+                # bf16 DEFAULT precision otherwise (caught by the
+                # on-TPU check lane; interpret mode can't see it)
+                precision=jax.lax.Precision.HIGHEST,
             )
         )
     res = jnp.concatenate(parts, axis=1)  # (16, CHUNK)
@@ -186,7 +195,7 @@ def _expand_fwd_impl(vals, offs, length, interpret, total=None,
         next_f, starts.astype(jnp.float32), side="right"
     ).astype(jnp.int32)
     # clamp so the aligned window [w0, w0+W) stays inside P+W columns
-    lo = jnp.minimum(lo, P).reshape(n_chunks, N_SUB)
+    lo = jnp.minimum(lo, P)  # flat (n_chunks * N_SUB,)
 
     total_arr = (
         jnp.zeros((1,), jnp.int32)

@@ -395,6 +395,32 @@ def main():
         results["kernel"] = bench(
             "kernel only", stage_kernel, pd, tstart, tcount
         )
+    @jax.jit
+    def stage_f2nok(params, tree_arrays, cam):
+        # everything except the forward kernel, in one executable
+        slices, lane_prefix, lane_valid = make_slices.__wrapped__(
+            params, tree_arrays, cam
+        )
+        return stage_pairs.__wrapped__(
+            slices, lane_prefix, lane_valid, cam
+        )[-1]
+
+    if "f2nok" in PHASES:
+        results["f2nok"] = bench(
+            "fused all-but-kernel", stage_f2nok, params, tree_dev, pcam
+        )
+
+    def full_frame_nocull(cam):
+        img, _, _ = ts.fused_prepare_render(
+            params, tree_dev, cam, k_visible=k_vis, max_pairs=max_pairs,
+            check_cull=False, **common,
+        )
+        return img
+
+    if "nocull" in PHASES:
+        results["nocull"] = bench(
+            "full frame check_cull=False", full_frame_nocull, pcam
+        )
     if "check8" in PHASES:
         results["check8"] = bench(
             "check @1/8 res", stage_check8, params, tree_dev, pcam
