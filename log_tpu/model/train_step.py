@@ -115,6 +115,69 @@ def _compact_slices_sort(params: dict, keep: jax.Array, k: int):
     return slices, index, lane_valid
 
 
+def _compact_cols_sort(params: dict, keep: jax.Array, k: int):
+    """_compact_slices_sort returning COLUMN tuples (no (k, d) stacks).
+
+    jnp.stack of sort-output rows into (k, d) arrays costs ~0.8 ns/element
+    in strided sublane writes (~30 ms/frame at the r3 bench sizes when the
+    stacks cannot be DCE'd); the column-native inference path keeps every
+    per-point quantity a flat (k,) array from the sort payloads through
+    activation, projection, and the pair expansion's Pallas row-pack.
+
+    Returns (cols: name -> tuple of (k,) arrays, index, lane_valid)."""
+    cap = keep.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    skey = jnp.where(keep, pos, jnp.uint32(cap) + pos)
+    flat_cols = []
+    layout = []
+    for name, v in params.items():
+        v2 = v.reshape(cap, -1)
+        layout.append((name, v2.shape[1]))
+        for c in range(v2.shape[1]):
+            flat_cols.append(v2[:, c])
+    out = jax.lax.sort((skey,) + tuple(flat_cols), num_keys=1,
+                       is_stable=False)
+    key_s = out[0][:k]
+    lane_valid = key_s < jnp.uint32(cap)
+    index = jnp.where(lane_valid, key_s, jnp.uint32(cap)).astype(jnp.int32)
+    cols = {}
+    i = 1
+    for name, ncol in layout:
+        cs = []
+        for c in range(ncol):
+            col = out[i + c][:k]
+            if name == "rotation":
+                col = jnp.where(lane_valid, col, UNIT_QUAT[c])
+            else:
+                col = jnp.where(lane_valid, col, jnp.zeros((), col.dtype))
+            cs.append(col)
+        i += ncol
+        cols[name] = tuple(cs)
+    return cols, index, lane_valid
+
+
+def _render_tiled_cols(splat_cols, colors_cols, background, image_height,
+                       image_width, max_pairs, prefix_mask, interpret=None):
+    """Column-native inference render: build_pairs(SplatCols) ->
+    forward kernel, with_stats off. Returns (render, alpha)."""
+    from ..ops.rasterize_tiled import (
+        _interpret_default, _raster_core, build_pairs,
+    )
+
+    if interpret is None:
+        interpret = _interpret_default()
+    pairs = build_pairs(
+        splat_cols, colors_cols, image_height, image_width, max_pairs,
+        runs_tail_only=True, active_prefix=prefix_mask, interpret=interpret,
+    )
+    color, tfinal, _pid, _pwp, _pair_w = _raster_core(
+        pairs["pair_data"], pairs["tile_start"], pairs["tile_count"],
+        background, pairs["tiles_x"], pairs["tiles_y"], False, interpret,
+    )
+    H, W = image_height, image_width
+    return color[:, :H, :W], 1.0 - tfinal[:H, :W]
+
+
 def _activate_and_rasterize(slices, offset, cam, background, lane_valid, cfg):
     """Param-space slice -> physical -> rasterize. Differentiable."""
     scaling = jnp.exp(slices["scaling"])
@@ -667,6 +730,59 @@ def fused_prepare_render(
         counts = jnp.stack(
             [jnp.sum(keep & is_leaf_opt), jnp.sum(keep & ~is_leaf_opt)]
         )
+        use_cols = backend == "tiled" and "shs" not in need
+        if use_cols:
+            # column-native fast path: the compaction sort's outputs stay
+            # 1-D columns through activation/projection/pair rows — the
+            # (k, d) stacks they replace cost ~30 ms/frame at bench sizes
+            # (strided sublane writes; ARCHITECTURE.md round-3 notes)
+            from ..ops.projection import project_gaussians_cols
+
+            cols_in = {kk: params[kk] for kk in need}
+            cols_in["root_id"] = tree_arrays["root_id"][:, None]
+            cols, index, lane_prefix = _compact_cols_sort(
+                cols_in, keep, k_visible
+            )
+            root_id_sl = cols.pop("root_id")[0]
+            if check_cull:
+                R = n_roots if 0 < n_roots <= cap else cap
+                cand = (
+                    gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
+                    & (tree_arrays["index_parent"][:R] == -1)
+                    & alive[:R]
+                )
+                weight_ok = _check_root_weights(
+                    params["xyz"][:R],
+                    jax.nn.sigmoid(params["opacity"][:R, 0]),
+                    scaling_full[:R], rotation_full[:R], cand, cam,
+                    image_height, image_width, mode, prep_backend,
+                    prep_max_pairs, check_scale,
+                )
+                w_sl = jnp.take(
+                    weight_ok,
+                    jnp.clip(root_id_sl.astype(jnp.int32), 0, R - 1),
+                )
+                lane_valid = lane_prefix & w_sl
+            else:
+                lane_valid = lane_prefix
+            x, yy, zz = cols["xyz"]
+            sx, sy, sz = (jnp.exp(c) for c in cols["scaling"])
+            opacity_c = jax.nn.sigmoid(cols["opacity"][0])
+            qw, qx, qy, qz = cols["rotation"]
+            col_rgb = tuple(sh_to_rgb(c) for c in cols["colors"])
+            splat_cols = project_gaussians_cols(
+                x, yy, zz, sx, sy, sz, qw, qx, qy, qz, opacity_c,
+                cam["world_view"], cam["full_proj"], cam["focal_x"],
+                cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
+                image_height, image_width, mode=mode,
+                use_filter=use_filter, active_mask=lane_valid,
+                tight_radius=True,
+            )
+            render, alpha = _render_tiled_cols(
+                splat_cols, col_rgb, background, image_height, image_width,
+                max_pairs, lane_prefix,
+            )
+            return render, alpha, counts
         cols = {kk: params[kk] for kk in need}
         cols["root_id"] = tree_arrays["root_id"][:, None]
         slices, index, lane_prefix = _compact_slices_sort(

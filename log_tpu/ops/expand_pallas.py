@@ -229,6 +229,59 @@ def _expand_fwd_impl(vals, offs, length, interpret, total=None,
     return out[:R]
 
 
+def expand_packed_with_keys(packed, offs, total, length, tiles_x,
+                            num_tiles, interpret=False):
+    """expand_pallas_with_keys on a PRE-PACKED (16, P + spare) input.
+
+    packed rows: 0..9 splat values, 10 run offsets (f32), 11 packed rect
+    geometry, 12 caller ids, 13 offs_f, 14 next_f, 15 zero — exactly the
+    layout `pack_rows` produces from the 15 1-D rows, with the spare
+    columns of rows 13/14 set to float(A) (the window sentinel). The
+    column-native render path uses this to skip the (13, P) jnp.stack
+    (strided sublane writes, ~0.8 ns/element). Inference only (no VJP).
+
+    Returns (rows (13, A), tile_key (A,), depth_key (A,)).
+    """
+    P = offs.shape[0]
+    A = length
+    assert A % CHUNK == 0 and A < (1 << 24), A
+    assert packed.shape[0] == N_IN_ROWS and packed.shape[1] >= P + W, (
+        packed.shape, P,
+    )
+    n_chunks = A // CHUNK
+    offs_f = offs.astype(jnp.float32)
+    next_f = jnp.concatenate(
+        [offs_f[1:], jnp.full((1,), float(A), jnp.float32)]
+    )
+    starts = jnp.arange(n_chunks * N_SUB, dtype=jnp.int32) * SUB
+    lo = jnp.searchsorted(
+        next_f, starts.astype(jnp.float32), side="right"
+    ).astype(jnp.int32)
+    lo = jnp.minimum(lo, P)
+    total_arr = jnp.reshape(total, (1,)).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((N_IN_ROWS, CHUNK), lambda c, *_: (0, c)),
+        scratch_shapes=[
+            pltpu.VMEM((2, N_IN_ROWS, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _expand_kernel, emit_keys=True, tiles_x=tiles_x,
+        num_tiles=num_tiles,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N_IN_ROWS, A), jnp.float32),
+        interpret=interpret,
+    )(lo, total_arr, packed)
+    return out[:13], out[13], out[14]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def piecewise_expand_pallas(vals, offs, length, interpret=False):
     """(R, P) runs -> (R, length) piecewise-constant rows, MXU one-hot.

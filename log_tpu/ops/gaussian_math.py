@@ -133,9 +133,21 @@ def frustum_flag_c(px, py, pz, padding: float = 0.05):
 def build_cov3d_c(scaling: jax.Array, rotation: jax.Array):
     """build_cov3d returning the 6 upper-triangle components as a tuple of
     flat (N,) arrays (no (N, 6) materialization)."""
-    norm = jnp.sqrt(jnp.sum(rotation * rotation, axis=-1))
-    q = rotation / norm[..., None]
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return build_cov3d_cc(
+        scaling[..., 0], scaling[..., 1], scaling[..., 2],
+        rotation[..., 0], rotation[..., 1], rotation[..., 2],
+        rotation[..., 3],
+    )
+
+
+def build_cov3d_cc(s0c, s1c, s2c, qw, qx, qy, qz):
+    """build_cov3d_c on COLUMN inputs (7 flat (N,) arrays) — the
+    column-native render path never materializes (N, k) stacks (a
+    jnp.stack of N-length rows costs ~0.8 ns/element in strided sublane
+    writes; see ARCHITECTURE.md round-3 notes)."""
+    norm = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    inv = 1.0 / norm
+    w, x, y, z = qw * inv, qx * inv, qy * inv, qz * inv
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - w * z)
     r02 = 2 * (x * z + w * y)
@@ -145,9 +157,9 @@ def build_cov3d_c(scaling: jax.Array, rotation: jax.Array):
     r20 = 2 * (x * z - w * y)
     r21 = 2 * (y * z + w * x)
     r22 = 1 - 2 * (x * x + y * y)
-    s0 = scaling[..., 0] * scaling[..., 0]
-    s1 = scaling[..., 1] * scaling[..., 1]
-    s2 = scaling[..., 2] * scaling[..., 2]
+    s0 = s0c * s0c
+    s1 = s1c * s1c
+    s2 = s2c * s2c
     sxx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
     sxy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
     sxz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22

@@ -42,6 +42,25 @@ class Splats(NamedTuple):
     valid: jax.Array  # (P,) bool
 
 
+class SplatCols(NamedTuple):
+    """Column-native screen-space splats: every field a flat (P,) array.
+
+    The inference hot path keeps per-point data as 1-D columns end to end
+    (compaction sort payloads -> activation -> projection -> pair rows):
+    materializing (P, k) stacks from 1-D rows costs ~0.8 ns/element in
+    strided sublane writes on TPU — ~30 ms/frame at the r3 bench sizes."""
+
+    px: jax.Array
+    py: jax.Array
+    cxx: jax.Array
+    cxy: jax.Array
+    cyy: jax.Array
+    opacity: jax.Array
+    depth: jax.Array
+    radius: jax.Array
+    valid: jax.Array
+
+
 def project_gaussians(
     xyz: jax.Array,
     scaling: jax.Array,
@@ -129,4 +148,72 @@ def project_gaussians(
         depth=depth,
         radius=radius,
         valid=valid,
+    )
+
+
+def project_gaussians_cols(
+    x, y, z,            # world position columns, activated
+    sx, sy, sz,         # scaling columns (activated, i.e. exp applied)
+    qw, qx, qy, qz,     # rotation columns (normalization happens inside)
+    opacity,            # (P,) activated opacity
+    world_view,
+    full_proj,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+    image_height: int,
+    image_width: int,
+    mode: str = "antialias",
+    use_filter: bool = True,
+    active_mask=None,
+    tight_radius: bool = False,
+) -> SplatCols:
+    """project_gaussians on COLUMN inputs/outputs — identical math, zero
+    (P, k) materializations (see SplatCols). Inference path only (no
+    means2d_offset cotangent)."""
+    tx, ty, tz = gm.transform_point_c(x, y, z, world_view)
+    depth = tz
+    ndc_x, ndc_y, _, _ = gm.project_ndc_c(x, y, z, full_proj)
+    pix_x = gm.ndc_to_pix(ndc_x, image_width)
+    pix_y = gm.ndc_to_pix(ndc_y, image_height)
+
+    cov3d_c = gm.build_cov3d_cc(sx, sy, sz, qw, qx, qy, qz)
+    cxx, cxy, cyy = gm.ewa_cov2d_c(
+        cov3d_c, tx, ty, tz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
+    )
+    det_raw = cxx * cyy - cxy * cxy
+    if mode == "original":
+        ucxx, ucxy, ucyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="add")
+        comp = jnp.ones_like(cxx)
+    elif mode == "antialias":
+        if use_filter:
+            ucxx, ucxy, ucyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="add")
+            det_f = ucxx * ucyy - ucxy * ucxy
+            comp = jnp.sqrt(
+                jnp.maximum(det_raw, 1e-12)
+                / jnp.where(det_f != 0.0, det_f, 1.0)
+            )
+        else:
+            ucxx, ucxy, ucyy = cxx, cxy, cyy
+            comp = jnp.ones_like(cxx)
+    else:
+        raise ValueError(f"unknown rasterizer mode {mode!r}")
+
+    icxx, icxy, icyy, det = gm.inverse_cov2d(ucxx, ucxy, ucyy)
+    radius = gm.cov2d_radius(ucxx, ucxy, ucyy)
+    op = opacity * comp
+    if tight_radius:
+        lim = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * op), 0.0))
+        radius = radius * jnp.minimum(lim * (1.0 / 3.0), 1.0)
+    radius = jnp.ceil(radius)
+
+    valid = (depth > NEAR_Z) & (det > 0.0)
+    if active_mask is not None:
+        valid = valid & active_mask
+    radius = jnp.where(valid, radius, 0.0)
+    op = jnp.where(valid, op, 0.0)
+    return SplatCols(
+        px=pix_x, py=pix_y, cxx=icxx, cxy=icxy, cyy=icyy, opacity=op,
+        depth=depth, radius=radius, valid=valid,
     )

@@ -357,6 +357,20 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
     MXU one-hot kernel (ops/expand_pallas.py) instead of the scatter/sort
     constructions.
     """
+    from .projection import SplatCols
+
+    cols_mode = isinstance(splats, SplatCols)
+    if cols_mode:
+        px_x, px_y = splats.px, splats.py
+        cn_xx, cn_xy, cn_yy = splats.cxx, splats.cxy, splats.cyy
+        col_r, col_g, col_b = colors
+    else:
+        px_x = splats.pix_xy[:, 0]
+        px_y = splats.pix_xy[:, 1]
+        cn_xx = splats.conic[:, 0]
+        cn_xy = splats.conic[:, 1]
+        cn_yy = splats.conic[:, 2]
+        col_r, col_g, col_b = colors[:, 0], colors[:, 1], colors[:, 2]
     P = splats.opacity.shape[0]
     # ids ride f32 rows (ROW_GID and the expansion), exact only below 2^24;
     # render slices are LoD cuts (~100-300k) so this bounds the SLICE, not
@@ -367,18 +381,17 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
     num_tiles = tiles_x * tiles_y
     A = max_pairs
 
-    px = splats.pix_xy
     radius = splats.radius
     valid = splats.valid & (radius > 0)
 
     # tile rectangles (Inria getRect semantics)
-    x0 = jnp.clip(((px[:, 0] - radius) / TILE_W).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(((px[:, 1] - radius) / TILE_H).astype(jnp.int32), 0, tiles_y)
+    x0 = jnp.clip(((px_x - radius) / TILE_W).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((px_y - radius) / TILE_H).astype(jnp.int32), 0, tiles_y)
     x1 = jnp.clip(
-        ((px[:, 0] + radius + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, tiles_x
+        ((px_x + radius + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, tiles_x
     )
     y1 = jnp.clip(
-        ((px[:, 1] + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, tiles_y
+        ((px_y + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, tiles_y
     )
     rect_w = jnp.maximum(x1 - x0, 0)
     n_tiles_g = jnp.where(valid, rect_w * jnp.maximum(y1 - y0, 0), 0)
@@ -400,7 +413,8 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         x0 = jnp.where(valid, x0, 0)
         y0 = jnp.where(valid, y0, tiles_y)
         rect_w = jnp.where(valid, rect_w, 1)
-        px = jnp.where(valid[:, None], px, -1e4)
+        px_x = jnp.where(valid, px_x, -1e4)
+        px_y = jnp.where(valid, px_y, -1e4)
 
     offsets = jnp.cumsum(n_tiles_g) - n_tiles_g  # exclusive
     total = offsets[-1] + n_tiles_g[-1]
@@ -422,35 +436,46 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         if gid_ids is None
         else gid_ids.astype(jnp.float32)
     )
-    int_rows_f = jnp.stack(
-        [
-            offsets.astype(jnp.float32),
-            geo_packed,
-            id_row,
-        ],
-        axis=0,
-    )
-    val_rows = jnp.stack(
-        [
-            px[:, 0],
-            px[:, 1],
-            splats.conic[:, 0],
-            splats.conic[:, 1],
-            splats.conic[:, 2],
-            splats.opacity,
-            colors[:, 0],
-            colors[:, 1],
-            colors[:, 2],
-            splats.depth,
-        ],
-        axis=0,
-    )
-    stack13 = jnp.concatenate(
-        [val_rows, jax.lax.stop_gradient(int_rows_f)], axis=0
-    )
-    if runs_tail_only and A % 512 == 0 and A < (1 << 24):
+    rows13 = [
+        px_x, px_y, cn_xx, cn_xy, cn_yy, splats.opacity,
+        col_r, col_g, col_b, splats.depth,
+        jax.lax.stop_gradient(offsets.astype(jnp.float32)),
+        jax.lax.stop_gradient(geo_packed),
+        jax.lax.stop_gradient(id_row),
+    ]
+    use_pallas_expand = runs_tail_only and A % 512 == 0 and A < (1 << 24)
+    if use_pallas_expand and cols_mode and P % PACK_CHUNK == 0:
+        # column-native path: pack the 15 1-D rows with the Pallas DMA
+        # pack kernel instead of a (13, P) jnp.stack (strided sublane
+        # writes cost ~0.8 ns/element — tens of ms/frame at 2M lanes)
+        from .expand_pallas import ROW_NEXT, ROW_OFFS, expand_packed_with_keys
+        from .expand_pallas import W as EXPAND_W
+
+        offs_f = offsets_c.astype(jnp.float32)
+        next_f = jnp.concatenate(
+            [offs_f[1:], jnp.full((1,), float(A), jnp.float32)]
+        )
+        packed15 = pack_rows(
+            tuple(rows13) + (offs_f, next_f), interpret=interpret
+        )
+        # window sentinel: reads past P must see offs = next = A
+        packed15 = packed15.at[
+            ROW_OFFS:ROW_NEXT + 1, P:P + EXPAND_W
+        ].set(float(A))
+        all_pc, tile_key, dkey = expand_packed_with_keys(
+            packed15, offsets_c, total_c, A, tiles_x, num_tiles,
+            interpret=interpret,
+        )
+        all_rows = [all_pc[r] for r in range(13)]
+        val_pc = tuple(all_rows[:N_VAL_ROWS])
+        gid_pc = all_rows[N_VAL_ROWS + 2].astype(jnp.int32)
+        tile_id = jax.lax.stop_gradient(tile_key).astype(jnp.int32)
+        depth_key = jax.lax.stop_gradient(dkey)
+        real = tile_id < num_tiles
+    elif use_pallas_expand:
         from .expand_pallas import expand_pallas_with_keys
 
+        stack13 = jnp.stack(rows13, axis=0)
         # the (tile id, sentineled depth) sort keys are decoded IN-KERNEL
         # on the expansion's spare VPU cycles — saves ~6 A-length
         # elementwise passes (incl. the slow vector int div/mod)
@@ -465,6 +490,7 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         depth_key = jax.lax.stop_gradient(dkey)
         real = tile_id < num_tiles
     else:
+        stack13 = jnp.stack(rows13, axis=0)
         all_rows = piecewise_expand_rows(stack13, offsets_c, A)
         val_pc = tuple(all_rows[:N_VAL_ROWS])
         off_pc = all_rows[N_VAL_ROWS + 0].astype(jnp.int32)

@@ -63,9 +63,14 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from ..model.tensor_tree import flat_cut_pre
-from ..model.train_step import _compact_slices_sort, eval_sh, sh_to_rgb
+from ..model.train_step import (
+    _compact_cols_sort,
+    _compact_slices_sort,
+    eval_sh,
+    sh_to_rgb,
+)
 from ..ops import gaussian_math as gm
-from ..ops.projection import project_gaussians
+from ..ops.projection import project_gaussians, project_gaussians_cols
 from ..ops.rasterize_tiled import (
     N_VAL_ROWS,
     PAIR_CHUNK,
@@ -169,31 +174,53 @@ def _shard_render(params_l, tree_l, cam, n_alive, min_res, current_depth,
     )
     count_local = jnp.sum(keep)
     need = ["xyz", "colors", "scaling", "opacity", "rotation"]
-    if cfg.sh_degree > 0 and "shs" in params_l:
-        need.append("shs")
-    slices, _index, lane_valid = _compact_slices_sort(
-        {k: params_l[k] for k in need}, keep, cfg.k_local
-    )
-    scaling = jnp.exp(slices["scaling"])
-    opacity = jax.nn.sigmoid(slices["opacity"][:, 0])
-    rotation = slices["rotation"] / jnp.linalg.norm(
-        slices["rotation"], axis=-1, keepdims=True
-    )
-    colors = sh_to_rgb(slices["colors"])
-    if cfg.sh_degree > 0 and "shs" in slices:
-        dirs = slices["xyz"] - cam["camera_center"][None]
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+    use_cols = not (cfg.sh_degree > 0 and "shs" in params_l)
+    if use_cols:
+        # column-native flow (see ops/projection.SplatCols): sort payloads
+        # stay 1-D through activation/projection/pair rows
+        cols, _index, lane_valid = _compact_cols_sort(
+            {k: params_l[k] for k in need}, keep, cfg.k_local
         )
-        colors = colors + eval_sh(dirs, slices["shs"], degree=cfg.sh_degree)
-    splats = project_gaussians(
-        slices["xyz"], scaling, rotation, opacity, cam["world_view"],
-        cam["full_proj"], cam["focal_x"], cam["focal_y"], cam["tan_fovx"],
-        cam["tan_fovy"], cfg.height_pad, cfg.image_width, mode=cfg.mode,
-        use_filter=False,
-        means2d_offset=jnp.zeros((cfg.k_local, 2), jnp.float32),
-        active_mask=lane_valid, tight_radius=True,
-    )
+        x, yy, zz = cols["xyz"]
+        sx, sy, sz = (jnp.exp(c) for c in cols["scaling"])
+        opacity_c = jax.nn.sigmoid(cols["opacity"][0])
+        qw, qx, qy, qz = cols["rotation"]
+        colors = tuple(sh_to_rgb(c) for c in cols["colors"])
+        splats = project_gaussians_cols(
+            x, yy, zz, sx, sy, sz, qw, qx, qy, qz, opacity_c,
+            cam["world_view"], cam["full_proj"], cam["focal_x"],
+            cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
+            cfg.height_pad, cfg.image_width, mode=cfg.mode,
+            use_filter=False, active_mask=lane_valid, tight_radius=True,
+        )
+    else:
+        if cfg.sh_degree > 0 and "shs" in params_l:
+            need.append("shs")
+        slices, _index, lane_valid = _compact_slices_sort(
+            {k: params_l[k] for k in need}, keep, cfg.k_local
+        )
+        scaling = jnp.exp(slices["scaling"])
+        opacity = jax.nn.sigmoid(slices["opacity"][:, 0])
+        rotation = slices["rotation"] / jnp.linalg.norm(
+            slices["rotation"], axis=-1, keepdims=True
+        )
+        colors = sh_to_rgb(slices["colors"])
+        if cfg.sh_degree > 0 and "shs" in slices:
+            dirs = slices["xyz"] - cam["camera_center"][None]
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+            )
+            colors = colors + eval_sh(
+                dirs, slices["shs"], degree=cfg.sh_degree
+            )
+        splats = project_gaussians(
+            slices["xyz"], scaling, rotation, opacity, cam["world_view"],
+            cam["full_proj"], cam["focal_x"], cam["focal_y"],
+            cam["tan_fovx"], cam["tan_fovy"], cfg.height_pad,
+            cfg.image_width, mode=cfg.mode, use_filter=False,
+            means2d_offset=jnp.zeros((cfg.k_local, 2), jnp.float32),
+            active_mask=lane_valid, tight_radius=True,
+        )
 
     # ---- 3: local expansion + one sort by (tile, depth, gid) ------------
     es = expand_sort_pairs(
