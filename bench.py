@@ -158,6 +158,31 @@ def main():
             jnp.where(valid, jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0), 0)
         )
 
+    def find_min_res_for_cut(target_cut, candidates=(12.0, 18.0, 24.0, 36.0, 48.0, 64.0, 96.0)):
+        """Smallest candidate min_res whose LoD cut lands at or under
+        target_cut points — the reference's real-scene live set is
+        ~100-300k after cut+cull, while this synthetic tree at min_res 3
+        cuts to 1.6M; the sizing executable is reused (min_res is traced)."""
+        common = dict(
+            n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
+            current_depth=jnp.int32(20),
+            background=jnp.zeros(3, jnp.float32),
+            image_height=H, image_width=W,
+            sh_degree=0, stage_has_tree=True, num_levels=3,
+            backend="tiled", check_scale=4,
+            cut_method="flat_slice", n_roots=n_roots_bucket,
+            prep_backend="tiled", prep_max_pairs=1 << 19,
+        )
+        for mr in candidates:
+            _, _, counts = fused_prepare_render(
+                params, tree_dev, pcams[0], k_visible=min(1 << 21, cap),
+                max_pairs=1 << 21,
+                min_resolution_pixel=jnp.float32(mr), **common,
+            )
+            if int(np.asarray(counts).sum()) <= target_cut:
+                return mr
+        return candidates[-1]
+
     def measure(min_res, label):
         common = dict(
             n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
@@ -212,7 +237,8 @@ def main():
         }
 
     head = measure(3.0, "reference_default_minres3")
-    realistic = measure(12.0, "realistic_live_set_minres12")
+    mr_real = find_min_res_for_cut(300_000)
+    realistic = measure(mr_real, f"realistic_live_set_minres{mr_real:g}")
 
     print(
         json.dumps(

@@ -92,7 +92,13 @@ def _expand_kernel(lo_ref, total_ref, packed_hbm, out_ref, buf, sems, *,
     w0_lane = (lo_ref[c * N_SUB] // 128) * 128
     parts = []
     for g in range(N_SUB):
-        og = pl.multiple_of((lo_ref[c * N_SUB + g] // 128) * 128 - w0_lane, 128)
+        # clamp: under the tail-only contract og <= W - SUBW always (see
+        # module docstring); the clamp is pure insurance so a future
+        # contract violation yields wrong pixels, not a TPU fault
+        og_raw = (lo_ref[c * N_SUB + g] // 128) * 128 - w0_lane
+        og = pl.multiple_of(
+            jnp.clip(og_raw, 0, W - SUBW), 128
+        )
         # slice the REF (Mosaic has no dynamic_slice on values)
         dg = buf[slot, :, pl.ds(og, SUBW)]  # (16, SUBW)
         gj = (

@@ -416,10 +416,20 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         px_x = jnp.where(valid, px_x, -1e4)
         px_y = jnp.where(valid, px_y, -1e4)
 
-    offsets = jnp.cumsum(n_tiles_g) - n_tiles_g  # exclusive
-    total = offsets[-1] + n_tiles_g[-1]
-    total_c = jnp.minimum(total, A)
-    offsets_c = jnp.minimum(offsets, A)  # overflow runs scatter out of range
+    # Exclusive cumsum of per-splat tile counts. At coarse LoD cuts the
+    # UNCLAMPED total can exceed int32 (1.6M splats x up to ~2k tiles
+    # ~ 3e9): an int32 cumsum wraps negative, searchsorted on the garbage
+    # produces chaotic expand windows, and the Pallas expand kernel reads
+    # out of bounds (hard TPU fault — hit by bench.py's min_res=12 config).
+    # f32 is SAFE here: partial sums are exact integers below 2^24, and
+    # every offset past the A (< 2^24) budget clamps to A anyway; f32
+    # accumulation of non-negative terms is monotone, so clamped offsets
+    # stay ascending.
+    csum_f = jnp.cumsum(n_tiles_g.astype(jnp.float32))
+    offsets_f = csum_f - n_tiles_g.astype(jnp.float32)
+    total_c = jnp.clip(csum_f[-1], 0.0, float(A)).astype(jnp.int32)
+    offsets_c = jnp.minimum(offsets_f, float(A)).astype(jnp.int32)
+    offsets = offsets_c  # overflow runs scatter out of range
 
     # ONE piecewise expansion for 13 rows (10 splat-value rows + 3 integer
     # geometry rows carried exactly in f32 — all magnitudes < 2^24). The

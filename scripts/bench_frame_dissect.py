@@ -29,7 +29,7 @@ import numpy as np
 N_ROOTS = int(os.environ.get("DISSECT_ROOTS", "600000"))
 H, W = 1088, 1920
 REPS = int(os.environ.get("DISSECT_REPS", "10"))
-MIN_RES_PIXEL = 3.0
+MIN_RES_PIXEL = float(os.environ.get("DISSECT_MIN_RES", "3.0"))
 PHASES = sys.argv[1:] or [
     "full", "cut", "compact", "check", "prefix23", "nocheck", "pairs",
     "kernel",
