@@ -70,6 +70,9 @@ def main():
         jax.random.PRNGKey(0), N_ROOTS, cap
     )
     n_roots_bucket = min(next_capacity(N_ROOTS), cap)
+    # alive bucket: capacity-axis sorts/passes sliced to [:cap_sort]
+    # (render_fused picks the same bucket in production)
+    cap_sort = min(cap, -(-n // (1 << 18)) * (1 << 18))
 
     pcams = [
         camera_device(
@@ -172,6 +175,7 @@ def main():
             backend="tiled", check_scale=4,
             cut_method="flat_slice", n_roots=n_roots_bucket,
             prep_backend="tiled", prep_max_pairs=1 << 19,
+            cap_sort=cap_sort,
         )
         for mr in candidates:
             _, _, counts = fused_prepare_render(
@@ -194,6 +198,7 @@ def main():
             backend="tiled", check_scale=4,
             cut_method="flat_slice", n_roots=n_roots_bucket,
             prep_backend="tiled", prep_max_pairs=1 << 19,
+            cap_sort=cap_sort,
         )
         # size the cut bucket once from the first camera
         _, _, counts = fused_prepare_render(

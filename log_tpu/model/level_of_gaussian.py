@@ -618,7 +618,13 @@ class LoG:
             b = self._render_bucket
             if need > b or need * 2 < b:
                 self._render_bucket = need
-        k_vis = min(self._render_bucket, self.capacity)
+        # static alive-bucket: sorts/dense passes run over [:cap_sort]
+        # instead of the full capacity (up to ~30% of the frame when the
+        # capacity bucket has headroom); recompiles only at bucket jumps
+        cap_sort = min(
+            self.capacity, -(-self.num_points // (1 << 18)) * (1 << 18)
+        )
+        k_vis = min(self._render_bucket, self.capacity, cap_sort)
         backend = pick_backend(self.capacity)
         if stage_has_tree:
             tree_arrays = self._tree_dev
@@ -653,6 +659,7 @@ class LoG:
             n_roots=self.n_roots_bucket if stage_has_tree else 0,
             prep_backend=backend,
             prep_max_pairs=pick_max_pairs(self.capacity, per_point=1),
+            cap_sort=cap_sort,
         )
         self._render_counts_dev = counts
         try:

@@ -11,6 +11,7 @@ buckets.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -156,16 +157,39 @@ def _compact_cols_sort(params: dict, keep: jax.Array, k: int):
     return cols, index, lane_valid
 
 
+def _use_packed_pairs() -> bool:
+    env = os.environ.get("LOG_TPU_PACK_PAIRS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return True
+
+
 def _render_tiled_cols(splat_cols, colors_cols, background, image_height,
-                       image_width, max_pairs, prefix_mask, interpret=None):
+                       image_width, max_pairs, prefix_mask, interpret=None,
+                       pack_pairs=None):
     """Column-native inference render: build_pairs(SplatCols) ->
-    forward kernel, with_stats off. Returns (render, alpha)."""
+    forward kernel, with_stats off. Returns (render, alpha).
+
+    Default path packs the pair payloads (6 rows: f32 px/py + bf16-pair
+    conic/opacity/rgb) — the pair sort scales ~3.2 ms/payload at bench
+    sizes (scripts/bench_sortcost.py) and the packed kernel DMAs half the
+    bytes. <=0.4% relative error on conic/color, below one 8-bit LSB.
+    LOG_TPU_PACK_PAIRS=0 restores the full-precision rows."""
     from ..ops.rasterize_tiled import (
-        _interpret_default, _raster_core, build_pairs,
+        _interpret_default, _raster_core, build_pairs, render_pairs_packed,
     )
 
     if interpret is None:
         interpret = _interpret_default()
+    H, W = image_height, image_width
+    if pack_pairs is None:
+        pack_pairs = _use_packed_pairs()
+    if pack_pairs:
+        color, tfinal = render_pairs_packed(
+            splat_cols, colors_cols, background, image_height, image_width,
+            max_pairs, prefix_mask, interpret=interpret,
+        )
+        return color[:, :H, :W], 1.0 - tfinal[:H, :W]
     pairs = build_pairs(
         splat_cols, colors_cols, image_height, image_width, max_pairs,
         runs_tail_only=True, active_prefix=prefix_mask, interpret=interpret,
@@ -174,7 +198,6 @@ def _render_tiled_cols(splat_cols, colors_cols, background, image_height,
         pairs["pair_data"], pairs["tile_start"], pairs["tile_count"],
         background, pairs["tiles_x"], pairs["tiles_y"], False, interpret,
     )
-    H, W = image_height, image_width
     return color[:, :H, :W], 1.0 - tfinal[:H, :W]
 
 
@@ -644,6 +667,8 @@ def fused_prepare_train_step(
         "prep_max_pairs",
         "use_filter",
         "check_cull",
+        "pack_pairs",
+        "cap_sort",
     ),
 )
 def fused_prepare_render(
@@ -671,6 +696,8 @@ def fused_prepare_render(
     prep_max_pairs: int = 1 << 20,
     use_filter: bool = False,
     check_cull: bool = True,
+    pack_pairs: bool | None = None,
+    cap_sort: int = 0,
 ):
     """Inference: LoD cut + slice gather + activation + render in ONE
     executable — zero per-frame host syncs (the demo/viewer/bench hot path;
@@ -687,6 +714,21 @@ def fused_prepare_render(
     (prefix_mask) to keep the Pallas expansion's tail-only-zeros contract.
     """
     cap = params["xyz"].shape[0]
+    if 0 < cap_sort < cap:
+        # every dense stage (radius passes, cut, compaction sort) is
+        # linear in the capacity axis; points past the alive bucket are
+        # dead by construction (alive = arange < n_alive <= cap_sort), so
+        # slicing to a static n_alive bucket is exact. Caller picks the
+        # bucket (model.render_fused: next_capacity(num_points)) to bound
+        # recompiles to densification cadence.
+        assert cap_sort >= k_visible, (cap_sort, k_visible)
+        params = {k: v[:cap_sort] for k, v in params.items()}
+        tree_arrays = {
+            k: (v[:cap_sort] if v.ndim >= 1 and v.shape[0] == cap else v)
+            for k, v in tree_arrays.items()
+        }
+        is_leaf_opt = is_leaf_opt[:cap_sort]
+        cap = cap_sort
     need = ["xyz", "colors", "scaling", "opacity", "rotation"]
     if sh_degree > 0 and "shs" in params:
         need.append("shs")
@@ -780,7 +822,7 @@ def fused_prepare_render(
             )
             render, alpha = _render_tiled_cols(
                 splat_cols, col_rgb, background, image_height, image_width,
-                max_pairs, lane_prefix,
+                max_pairs, lane_prefix, pack_pairs=pack_pairs,
             )
             return render, alpha, counts
         cols = {kk: params[kk] for kk in need}

@@ -67,6 +67,41 @@ ROW_R, ROW_G, ROW_B, ROW_DEPTH = 6, 7, 8, 9
 ROW_GID = 10
 N_ROWS = 16
 N_VAL_ROWS = 10
+# packed INFERENCE pair record: 8 rows = 1 sublane tile per chunk DMA.
+# Sort cost on TPU scales ~3.2 ms per payload at 4.2M rows (the round-2
+# "flat in payloads" measurement was DCE-corrupted — see
+# scripts/bench_sortcost.py), so the inference path packs the 10 value
+# rows into 6: px/py stay f32 (center precision is visually load-bearing);
+# conic/opacity/rgb round to bf16 and ride u32 lanes in pairs (<=0.4%
+# relative — below one 8-bit LSB at the image). gid/perm payloads and the
+# per-pair weight outputs exist only for training stats and are dropped.
+P_ROW_PX, P_ROW_PY = 0, 1
+P_ROW_CXX_CXY, P_ROW_CYY_OPAC, P_ROW_R_G, P_ROW_B = 2, 3, 4, 5
+P_N_ROWS = 8
+
+
+def _pack2_bf16(hi, lo):
+    """Round two f32 rows to bf16 and pack them into one u32 row."""
+    hb = jax.lax.bitcast_convert_type(
+        hi.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    lb = jax.lax.bitcast_convert_type(
+        lo.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (hb << 16) | lb
+
+
+def _unpack2_bf16(u32row):
+    """Kernel-side inverse of _pack2_bf16 on a u32 vector: two f32 vectors.
+
+    A bf16 pattern placed in the top 16 bits of an f32 word IS that bf16's
+    exact f32 value; the low half shifts up 16 first. Pure VPU bit ops.
+    """
+    hi = jax.lax.bitcast_convert_type(
+        u32row & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    lo = jax.lax.bitcast_convert_type(u32row << 16, jnp.float32)
+    return hi, lo
 # exclusive-cumprod implementation in the forward kernel:
 #   'matmul'   — exp(strict-tri @ log(x)) on the MXU
 #   'doubling' — log-steps of sublane roll+multiply on the VPU (skips the
@@ -163,7 +198,7 @@ sort_pairs.defvjp(_sort_pairs_fwd, _sort_pairs_bwd)
 PACK_CHUNK = 1 << 15  # every max_pairs bucket is a multiple of 2^15
 
 
-def _pack_kernel(*refs, n_in: int):
+def _pack_kernel(*refs, n_in: int, n_out: int = N_ROWS):
     # refs: n_in HBM inputs (1, A), out block (16, C), n_in VMEM row
     # buffers (1, C) (DMA into a sublane slice of one tiled buffer is
     # illegal — "slice along dim 0 must be 8-aligned" — so each row gets
@@ -187,13 +222,17 @@ def _pack_kernel(*refs, n_in: int):
             ).wait()
         out_ref[:, :] = jnp.concatenate(
             [bufs[r][:, :] for r in range(n_in)]
-            + [jnp.zeros((N_ROWS - n_in, PACK_CHUNK), jnp.float32)],
+            + (
+                [jnp.zeros((n_out - n_in, PACK_CHUNK), jnp.float32)]
+                if n_out > n_in
+                else []
+            ),
             axis=0,
         )
 
     @pl.when(c == n_real)
     def _():
-        out_ref[:, :] = jnp.zeros((N_ROWS, PACK_CHUNK), jnp.float32)
+        out_ref[:, :] = jnp.zeros((n_out, PACK_CHUNK), jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -218,20 +257,20 @@ def _pack_rows_bwd(interpret, res, g):
 pack_rows.defvjp(_pack_rows_fwd, _pack_rows_bwd)
 
 
-def _pack_rows_impl(rows, interpret=False):
+def _pack_rows_impl(rows, interpret=False, n_out=N_ROWS):
     n_in = len(rows)
     A = rows[0].shape[0]
-    assert n_in <= N_ROWS and A % PACK_CHUNK == 0, (n_in, A)
+    assert n_in <= n_out and A % PACK_CHUNK == 0, (n_in, n_out, A)
     n_chunks = A // PACK_CHUNK + 1
-    kernel = functools.partial(_pack_kernel, n_in=n_in)
+    kernel = functools.partial(_pack_kernel, n_in=n_in, n_out=n_out)
     rows2d = [r.reshape(1, A) for r in rows]
     return pl.pallas_call(
         kernel,
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
-        out_specs=pl.BlockSpec((N_ROWS, PACK_CHUNK), lambda c: (0, c)),
+        out_specs=pl.BlockSpec((n_out, PACK_CHUNK), lambda c: (0, c)),
         out_shape=jax.ShapeDtypeStruct(
-            (N_ROWS, A + PACK_CHUNK), jnp.float32
+            (n_out, A + PACK_CHUNK), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((1, PACK_CHUNK), jnp.float32) for _ in range(n_in)
@@ -338,7 +377,7 @@ def _piecewise_expand_sort_rows(values, offsets, length):
 
 def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
                       runs_tail_only=False, active_prefix=None,
-                      interpret=False, gid_ids=None):
+                      interpret=False, gid_ids=None, inference_pack=False):
     """First half of build_pairs: rects -> gather-free pair expansion ->
     ONE sort by (tile, depth, gid). Returns a dict of SORTED 1-D pair rows
     (tile_s int32 with `num_tiles` as the tail sentinel, gid_s, values_s —
@@ -518,6 +557,35 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         tile_id = jnp.where(real, ty * tiles_x + tx, num_tiles)
         depth_key = jnp.where(real, val_pc[ROW_DEPTH], jnp.inf)
 
+    if inference_pack:
+        # inference-only sort: 6 packed payloads instead of 12
+        # (10 values + gid + perm). px/py stay f32; conic/opacity/rgb
+        # pack as bf16 pairs; no grad path (no perm), no stats (no gid).
+        shift = _pack_shift(num_tiles)
+        dbits = jax.lax.bitcast_convert_type(
+            depth_key.astype(jnp.float32), jnp.uint32
+        )
+        key = (tile_id.astype(jnp.uint32) << shift) | (dbits >> (32 - shift))
+        p1 = _pack2_bf16(val_pc[ROW_CXX], val_pc[ROW_CXY])
+        p2 = _pack2_bf16(val_pc[ROW_CYY], val_pc[ROW_OPAC])
+        p3 = _pack2_bf16(val_pc[ROW_R], val_pc[ROW_G])
+        p4 = _pack2_bf16(val_pc[ROW_B], jnp.zeros_like(val_pc[ROW_B]))
+        sorted_ops = jax.lax.sort(
+            (key, val_pc[ROW_PX], val_pc[ROW_PY], p1, p2, p3, p4),
+            num_keys=1, is_stable=False,
+        )
+        tile_s = (sorted_ops[0] >> shift).astype(jnp.int32)
+        rows6 = (sorted_ops[1], sorted_ops[2]) + tuple(
+            jax.lax.bitcast_convert_type(r, jnp.float32)
+            for r in sorted_ops[3:]
+        )
+        return {
+            "tile_s": tile_s,
+            "packed6": rows6,
+            "tiles_x": tiles_x,
+            "tiles_y": tiles_y,
+            "num_tiles": num_tiles,
+        }
     tile_s, gid_s, values_s, perm_s = sort_pairs(
         tile_id, depth_key, gid_pc, val_pc, num_tiles
     )
@@ -861,6 +929,198 @@ def _run_forward(pair_data, tile_start, tile_count, background,
         pair_data,
         background.reshape(1, 3).astype(jnp.float32),
         pw_init,
+    )
+
+
+# --------------------------------------------------------------------------
+# packed inference forward kernel: (8, A) bit-packed pair rows, color+alpha
+# outputs only (no stats, no per-pair weight buffer -> half the chunk DMA
+# bytes and none of the 8xA zero-init/alias traffic of the stats kernel)
+# --------------------------------------------------------------------------
+def _fwd_kernel_packed(
+    tile_start_ref,
+    tile_count_ref,
+    pair_hbm,  # (P_N_ROWS, A + 128) ANY/HBM, rows per P_ROW_* layout
+    background_ref,  # (1, 3) VMEM
+    color_ref,  # (3, TILE_H, TILE_W)
+    tfinal_ref,
+    buf,  # (2, P_N_ROWS, PAIR_CHUNK)
+    sems,
+    *,
+    tiles_x: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    off0 = pl.multiple_of((start // PAIR_CHUNK) * PAIR_CHUNK, PAIR_CHUNK)
+    n_chunks = pl.cdiv(start + count - off0, PAIR_CHUNK)
+
+    tile_y = t // tiles_x
+    tile_x = t - tile_y * tiles_x
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
+    pix_x = (tile_x * TILE_W + lane % TILE_W).astype(jnp.float32)
+    pix_y = (tile_y * TILE_H + lane // TILE_W).astype(jnp.float32)
+
+    def get_dma(slot, c):
+        off = pl.multiple_of(off0 + c * PAIR_CHUNK, PAIR_CHUNK)
+        return pltpu.make_async_copy(
+            pair_hbm.at[:, pl.ds(off, PAIR_CHUNK)], buf.at[slot], sems.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, PAIR_CHUNK), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, PAIR_CHUNK), 1)
+    ltri_strict = (row_idx > col_idx).astype(jnp.float32)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (PAIR_CHUNK, 1), 0)
+
+    def chunk_body(state):
+        c, color, trans = state
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        d = buf[slot]  # (P_N_ROWS, PAIR_CHUNK) f32 (bit-packed rows)
+        c1 = jax.lax.bitcast_convert_type(d[P_ROW_CXX_CXY, :], jnp.uint32)
+        c2 = jax.lax.bitcast_convert_type(d[P_ROW_CYY_OPAC, :], jnp.uint32)
+        c3 = jax.lax.bitcast_convert_type(d[P_ROW_R_G, :], jnp.uint32)
+        c4 = jax.lax.bitcast_convert_type(d[P_ROW_B, :], jnp.uint32)
+        cxx, cxy = _unpack2_bf16(c1)
+        cyy, opac = _unpack2_bf16(c2)
+        col_r, col_g = _unpack2_bf16(c3)
+        col_b, _ = _unpack2_bf16(c4)
+
+        dx = d[P_ROW_PX, :][:, None] - pix_x
+        dy = d[P_ROW_PY, :][:, None] - pix_y
+        power = (
+            -0.5 * (cxx[:, None] * dx * dx + cyy[:, None] * dy * dy)
+            - cxy[:, None] * dx * dy
+        )
+        alpha = jnp.minimum(ALPHA_MAX, opac[:, None] * jnp.exp(power))
+        g_global = off0 + c * PAIR_CHUNK + g_iota
+        in_range = (g_global >= start) & (g_global < start + count)
+        alpha = jnp.where(
+            (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range, alpha, 0.0
+        )
+
+        one_minus = 1.0 - alpha
+        log_om = jnp.log(one_minus)
+        cp_excl = jnp.exp(
+            jax.lax.dot_general(
+                ltri_strict.astype(jnp.bfloat16),
+                log_om.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        cp_incl = cp_excl * one_minus
+        t_after = trans * cp_incl
+        w = trans * cp_excl * alpha
+        w = jnp.where(t_after >= T_EPS, w, 0.0)
+
+        rgb = jnp.concatenate(
+            [col_r[:, None], col_g[:, None], col_b[:, None]], axis=1
+        )
+        color = color + jax.lax.dot_general(
+            w.astype(jnp.bfloat16), rgb.astype(jnp.bfloat16),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        trans = trans * cp_incl[-1:, :]
+        return c + 1, color, trans
+
+    def chunk_cond(state):
+        c, _, trans = state
+        return (c < n_chunks) & (jnp.max(trans) >= T_EPS)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((TILE_PIX, 3), jnp.float32),
+        jnp.ones((1, TILE_PIX), jnp.float32),
+    )
+    c_end, color, trans = jax.lax.while_loop(chunk_cond, chunk_body, init)
+
+    @pl.when(c_end < n_chunks)
+    def _():
+        get_dma(c_end % 2, c_end).wait()
+
+    bg = background_ref[0, :]
+    final = color + trans[0, :][:, None] * bg[None, :]
+    color_ref[:] = final.T.reshape(3, TILE_H, TILE_W)
+    tfinal_ref[:] = trans.reshape(TILE_H, TILE_W)
+
+
+def _run_forward_packed(pair_data, tile_start, tile_count, background,
+                        tiles_x, tiles_y, interpret):
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (3, TILE_H, TILE_W), lambda t, *_: (0, t // tiles_x, t % tiles_x)
+            ),
+            pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, P_N_ROWS, PAIR_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel_packed, tiles_x=tiles_x)
+    out_shapes = (
+        jax.ShapeDtypeStruct((3, tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
+        jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        tile_start,
+        tile_count,
+        pair_data,
+        background.reshape(1, 3).astype(jnp.float32),
+    )
+
+
+def render_pairs_packed(splats, colors, background, image_height, image_width,
+                        max_pairs, active_prefix, interpret=False):
+    """Inference render on the packed pair pipeline: expansion -> 6-payload
+    sort -> (8, A) pack -> packed kernel. Returns (color, tfinal)."""
+    es = expand_sort_pairs(
+        splats, colors, image_height, image_width, max_pairs,
+        runs_tail_only=True, active_prefix=active_prefix,
+        interpret=interpret, inference_pack=True,
+    )
+    tile_s = es["tile_s"]
+    num_tiles = es["num_tiles"]
+    A = tile_s.shape[0]
+    arange_t1 = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
+    if A % PACK_CHUNK == 0:
+        pair_data = _pack_rows_impl(
+            es["packed6"], interpret=interpret, n_out=P_N_ROWS
+        )
+    else:  # small/odd buckets (tests)
+        pad = jnp.zeros((P_N_ROWS - len(es["packed6"]), A), jnp.float32)
+        pair_data = jnp.concatenate(
+            [jnp.stack(es["packed6"], axis=0), pad], axis=0
+        )
+        pair_data = jnp.pad(pair_data, ((0, 0), (0, PAIR_CHUNK)))
+    return _run_forward_packed(
+        pair_data, starts[:-1], starts[1:] - starts[:-1], background,
+        es["tiles_x"], es["tiles_y"], interpret,
     )
 
 

@@ -287,3 +287,48 @@ def test_runs_tail_only_matches_default():
         np.testing.assert_allclose(
             b, a, atol=1e-3 * scale, err_msg=f"grad mismatch: {name}"
         )
+
+
+@pytest.mark.slow
+def test_packed_inference_matches_full_precision():
+    """render_pairs_packed (6-payload bf16-packed pipeline) vs the
+    full-precision column path. Packing rounds conic/opacity/rgb to bf16
+    (<=0.4% relative) so the images agree to ~1 LSB of 8-bit output."""
+    from log_tpu.ops.projection import project_gaussians_cols
+    from log_tpu.ops.rasterize_tiled import (
+        _raster_core, build_pairs, render_pairs_packed,
+    )
+    from log_tpu.ops.sh import sh_to_rgb
+
+    args = scene_and_args(n=60)
+    splat_cols = project_gaussians_cols(
+        args["xyz"][:, 0], args["xyz"][:, 1], args["xyz"][:, 2],
+        args["scaling"][:, 0], args["scaling"][:, 1], args["scaling"][:, 2],
+        args["rotation"][:, 0], args["rotation"][:, 1],
+        args["rotation"][:, 2], args["rotation"][:, 3],
+        args["opacity"],
+        args["world_view"], args["full_proj"], args["focal_x"],
+        args["focal_y"], args["tan_fovx"], args["tan_fovy"],
+        H, W, use_filter=False,
+    )
+    colors = tuple(
+        args["colors"][:, c] for c in range(3)
+    )
+    prefix = jnp.ones((60,), bool)
+    color_p, tfinal_p = render_pairs_packed(
+        splat_cols, colors, args["background"], H, W, 4096, prefix,
+        interpret=True,
+    )
+    pairs = build_pairs(
+        splat_cols, colors, H, W, 4096, runs_tail_only=True,
+        active_prefix=prefix, interpret=True,
+    )
+    color_f, tfinal_f, _, _, _ = _raster_core(
+        pairs["pair_data"], pairs["tile_start"], pairs["tile_count"],
+        args["background"], pairs["tiles_x"], pairs["tiles_y"], False, True,
+    )
+    cp, cf = np.asarray(color_p[:, :H, :W]), np.asarray(color_f[:, :H, :W])
+    tp, tf = np.asarray(tfinal_p[:H, :W]), np.asarray(tfinal_f[:H, :W])
+    assert np.abs(cp - cf).max() < 0.02, np.abs(cp - cf).max()
+    assert np.abs(cp - cf).mean() < 2e-3
+    assert np.abs(tp - tf).max() < 0.02

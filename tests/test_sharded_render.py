@@ -56,6 +56,10 @@ def scene():
 
 def single_chip(scene, cam):
     params, tree_dev, is_leaf_opt, n, cap = scene
+    # pack_pairs=False pins the full-precision pair rows: this test
+    # verifies the SHARDING exchange, not the bf16 pair packing
+    # (packed-vs-full is covered by test_rasterize_tiled.py::
+    # test_packed_inference_matches_full_precision)
     img, alpha, counts = fused_prepare_render(
         params, tree_dev, cam,
         n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
@@ -67,7 +71,7 @@ def single_chip(scene, cam):
         backend="tiled", max_pairs=1 << 17,
         cut_method="flat_slice", n_roots=min(next_capacity(N_ROOTS), cap),
         prep_backend="tiled", prep_max_pairs=1 << 15,
-        check_scale=4, check_cull=False,
+        check_scale=4, check_cull=False, pack_pairs=False,
     )
     return np.asarray(img), np.asarray(alpha), counts
 
