@@ -72,6 +72,7 @@ def main():
     pcam = camera_device(prepare_camera(make_cam(0.7), 1, 0.01, 1000.0))
     bg = jnp.zeros(3, jnp.float32)
 
+    cap_sort = min(cap, -(-n // (1 << 18)) * (1 << 18))
     common = dict(
         n_alive=n_alive, is_leaf_opt=is_leaf_opt,
         min_resolution_pixel=jnp.float32(MIN_RES_PIXEL),
@@ -80,6 +81,7 @@ def main():
         num_levels=3, backend="tiled", check_scale=4,
         cut_method="flat_slice", n_roots=n_roots_bucket,
         prep_backend="tiled", prep_max_pairs=1 << 19,
+        cap_sort=cap_sort,
     )
 
     # size k_vis exactly like bench.py
