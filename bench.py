@@ -183,11 +183,27 @@ def main():
                 max_pairs=1 << 21,
                 min_resolution_pixel=jnp.float32(mr), **common,
             )
-            if int(np.asarray(counts).sum()) <= target_cut:
+            if int(np.asarray(counts)[:2].sum()) <= target_cut:
                 return mr
         return candidates[-1]
 
-    def measure(min_res, label):
+    from log_tpu.model.train_step import fused_root_cull
+
+    def root_cull(cam):
+        return fused_root_cull(
+            params, tree_dev, cam, jnp.int32(n), H, W,
+            prep_backend="tiled", prep_max_pairs=1 << 19, check_scale=4,
+            n_roots=n_roots_bucket, cap_sort=cap_sort,
+        )
+
+    def measure(min_res, label, cull_every=0):
+        """cull_every=0: per-frame weight cull (reference semantics,
+        LoG/model/level_of_gaussian.py:238-241 recomputes render_to_check
+        every frame). cull_every=K>0: the capacity-axis cull mask refreshes
+        every K frames INSIDE the timed loop (model.render_fused's
+        check_render_every mode) — the cull is a conservative 1e-8
+        occlusion test, so staleness changes the image below 8-bit
+        visibility."""
         common = dict(
             n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
             min_resolution_pixel=jnp.float32(min_res),
@@ -200,15 +216,23 @@ def main():
             prep_backend="tiled", prep_max_pairs=1 << 19,
             cap_sort=cap_sort,
         )
+        w0 = root_cull(pcams[0]) if cull_every else None
         # size the cut bucket once from the first camera
         _, _, counts = fused_prepare_render(
             params, tree_dev, pcams[0], k_visible=min(1 << 21, cap),
-            max_pairs=1 << 21, **common,
+            max_pairs=1 << 21, w_full=w0, **common,
         )
         c = np.asarray(counts)
-        cut = int(c.sum())
+        cut = int(c[:2].sum())
         k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
+        # right-size the pair budget from the sizing frame's measured
+        # UNCLAMPED demand (counts[2]) — the sorts/expansion/pack scale
+        # with the budget, and k_vis*6 over-provisions several-fold
         max_pairs = pick_max_pairs(k_vis, per_point=6)
+        if len(c) > 2 and c[2] > 0:
+            max_pairs = min(
+                max_pairs, pick_max_pairs(int(c[2] * 1.25), per_point=1)
+            )
         pair_count = int(
             pairs_probe(
                 params, tree_dev, pcams[0], jnp.float32(min_res),
@@ -216,18 +240,21 @@ def main():
             )
         )
 
-        def frame(cam):
+        def frame(cam, w_full):
             img, _, _ = fused_prepare_render(
                 params, tree_dev, cam, k_visible=k_vis,
-                max_pairs=max_pairs, **common,
+                max_pairs=max_pairs, w_full=w_full, **common,
             )
             return img
 
-        float(checksum(frame(pcams[0])))
-        float(checksum(frame(pcams[1])))
+        float(checksum(frame(pcams[0], w0)))
+        float(checksum(frame(pcams[1], w0)))
         t0 = time.perf_counter()
+        w = w0
         for i in range(FRAMES):
-            img = frame(pcams[2 + i])
+            if cull_every and i % cull_every == 0:
+                w = root_cull(pcams[2 + i])
+            img = frame(pcams[2 + i], w)
         float(checksum(img))
         dt = (time.perf_counter() - t0) / FRAMES
         return {
@@ -239,11 +266,16 @@ def main():
             "k_vis": k_vis,
             "max_pairs": max_pairs,
             "pairs_measured": pair_count,
+            "cull_every": cull_every or "per_frame",
         }
 
     head = measure(3.0, "reference_default_minres3")
+    head_amort = measure(3.0, "minres3_cull_every4", cull_every=4)
     mr_real = find_min_res_for_cut(300_000)
     realistic = measure(mr_real, f"realistic_live_set_minres{mr_real:g}")
+    real_amort = measure(
+        mr_real, f"realistic_minres{mr_real:g}_cull_every4", cull_every=4
+    )
 
     print(
         json.dumps(
@@ -258,7 +290,9 @@ def main():
                 "max_pairs": head["max_pairs"],
                 "pairs_measured": head["pairs_measured"],
                 "ms_per_frame": head["ms_per_frame"],
+                "amortized_cull": head_amort,
                 "secondary": realistic,
+                "secondary_amortized": real_amort,
             }
         )
     )

@@ -63,6 +63,16 @@ class LoG:
         self.use_view_correction = use_view_correction
         self.view_correction = Corrector(use_view_correction) if use_view_correction else None
         self.check_render_scale = check_render_scale
+        # weight-cull refresh cadence for the fused inference frame:
+        # 1 = per frame (reference semantics); K > 1 caches the capacity-
+        # axis cull mask for K frames (the cull is a conservative 1e-8
+        # occlusion test, so staleness changes the image below 8-bit
+        # visibility) and the frame pays neither the check render nor the
+        # slice-axis weight gather — see fused_root_cull
+        self.check_render_every = 1
+        self._cull_mask_dev = None
+        self._cull_frame_i = 0
+        self._cull_bucket = None
         self.current_depth = 0
         self.training = True
         self.stage_name = "init"
@@ -119,6 +129,7 @@ class LoG:
         scaling_modifier=1.0,
         log_query=None,
         reset_created_steps=False,
+        check_render_every=None,
     ):
         if active_sh_degree is not None or enable_sh is not None:
             if enable_sh:
@@ -144,6 +155,9 @@ class LoG:
             )
         if log_query is not None:
             self.tree.log_query = bool(log_query)
+        if check_render_every is not None:
+            self.check_render_every = int(check_render_every)
+            self._cull_mask_dev = None
 
     # ------------------------------------------------------- device caches
     @property
@@ -178,6 +192,7 @@ class LoG:
         return min(next_capacity(n, 256), self.capacity)
 
     def _refresh_device_caches(self):
+        self._cull_mask_dev = None  # state changed: stale cull mask
         cap = self.capacity
         self._tree_dev = self.tree.device_arrays(cap) if self.tree.num_points else None
         if self.tree.num_points:
@@ -614,10 +629,19 @@ class LoG:
             self._render_counts_dev = None
         elif getattr(self, "_render_counts_dev", None) is not None:
             c = np.asarray(self._render_counts_dev)
-            need = next_capacity(int(c.sum() * 1.2), 1 << 14)
+            need = next_capacity(int(c[:2].sum() * 1.2), 1 << 14)
             b = self._render_bucket
             if need > b or need * 2 < b:
                 self._render_bucket = need
+            # pair-budget right-sizing: counts[2] is last frame's UNCLAMPED
+            # pair demand (incl. forced prefix dummies); provisioning from
+            # it instead of k_vis*6 shrinks the pair sort/expansion/pack
+            # proportionally. 1.3x headroom, shrink only below half.
+            if len(c) > 2 and c[2] > 0:
+                pneed = pick_max_pairs(int(c[2] * 1.3), per_point=1)
+                pb = getattr(self, "_pair_bucket", None)
+                if pb is None or pneed > pb or pneed * 2 < pb:
+                    self._pair_bucket = pneed
         # static alive-bucket: sorts/dense passes run over [:cap_sort]
         # instead of the full capacity (up to ~30% of the frame when the
         # capacity bucket has headroom); recompiles only at bucket jumps
@@ -637,6 +661,33 @@ class LoG:
                 "depth": jnp.zeros((cap,), jnp.int32),
             }
             num_levels = 1
+        w_full = None
+        K = int(getattr(self, "check_render_every", 1))
+        if (
+            K > 1
+            and stage_has_tree
+            and self.cut_method == "flat_slice"
+        ):
+            from .train_step import fused_root_cull
+
+            if (
+                self._cull_mask_dev is None
+                or self._cull_bucket != cap_sort
+                or self._cull_frame_i % K == 0
+            ):
+                self._cull_mask_dev = fused_root_cull(
+                    self.gaussian.params(), tree_arrays, cam,
+                    jnp.int32(self.num_points),
+                    cam["image_height"], cam["image_width"],
+                    prep_backend=backend,
+                    prep_max_pairs=pick_max_pairs(self.capacity, per_point=1),
+                    check_scale=int(getattr(self, "check_render_scale", 1)),
+                    n_roots=self.n_roots_bucket,
+                    cap_sort=cap_sort,
+                )
+                self._cull_bucket = cap_sort
+            self._cull_frame_i += 1
+            w_full = self._cull_mask_dev
         render, alpha, counts = fused_prepare_render(
             self.gaussian.params(),
             tree_arrays,
@@ -653,13 +704,18 @@ class LoG:
             stage_has_tree=stage_has_tree,
             num_levels=num_levels,
             backend=backend,
-            max_pairs=pick_max_pairs(k_vis, per_point=6),
+            max_pairs=min(
+                pick_max_pairs(k_vis, per_point=6),
+                getattr(self, "_pair_bucket", None)
+                or pick_max_pairs(k_vis, per_point=6),
+            ),
             check_scale=int(getattr(self, "check_render_scale", 1)),
             cut_method=self.cut_method if stage_has_tree else "traverse",
             n_roots=self.n_roots_bucket if stage_has_tree else 0,
             prep_backend=backend,
             prep_max_pairs=pick_max_pairs(self.capacity, per_point=1),
             cap_sort=cap_sort,
+            w_full=w_full,
         )
         self._render_counts_dev = counts
         try:

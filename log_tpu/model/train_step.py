@@ -157,6 +157,29 @@ def _compact_cols_sort(params: dict, keep: jax.Array, k: int):
     return cols, index, lane_valid
 
 
+def _compact_flat_cols_sort(cols: dict, keep: jax.Array, k: int):
+    """Compaction-by-sort over ALREADY-FLAT 1-D columns of mixed dtype
+    (f32 screen coords + u32 bf16-packed pairs). Invalid lanes zero-fill —
+    a zero u32 unpacks to (0.0, 0.0), i.e. opacity 0 / radius 0, so packed
+    payloads need no special sentinel. Returns (slices, index, lane_valid)
+    with the same contract as _compact_cols_sort."""
+    cap = keep.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    skey = jnp.where(keep, pos, jnp.uint32(cap) + pos)
+    names = list(cols)
+    out = jax.lax.sort(
+        (skey,) + tuple(cols[n] for n in names), num_keys=1, is_stable=False
+    )
+    key_s = out[0][:k]
+    lane_valid = key_s < jnp.uint32(cap)
+    index = jnp.where(lane_valid, key_s, jnp.uint32(cap)).astype(jnp.int32)
+    slices = {
+        n: jnp.where(lane_valid, out[1 + i][:k], jnp.zeros((), out[1 + i].dtype))
+        for i, n in enumerate(names)
+    }
+    return slices, index, lane_valid
+
+
 def _use_packed_pairs() -> bool:
     env = os.environ.get("LOG_TPU_PACK_PAIRS")
     if env is not None:
@@ -185,11 +208,11 @@ def _render_tiled_cols(splat_cols, colors_cols, background, image_height,
     if pack_pairs is None:
         pack_pairs = _use_packed_pairs()
     if pack_pairs:
-        color, tfinal = render_pairs_packed(
+        color, tfinal, total = render_pairs_packed(
             splat_cols, colors_cols, background, image_height, image_width,
             max_pairs, prefix_mask, interpret=interpret,
         )
-        return color[:, :H, :W], 1.0 - tfinal[:H, :W]
+        return color[:, :H, :W], 1.0 - tfinal[:H, :W], total
     pairs = build_pairs(
         splat_cols, colors_cols, image_height, image_width, max_pairs,
         runs_tail_only=True, active_prefix=prefix_mask, interpret=interpret,
@@ -198,7 +221,7 @@ def _render_tiled_cols(splat_cols, colors_cols, background, image_height,
         pairs["pair_data"], pairs["tile_start"], pairs["tile_count"],
         background, pairs["tiles_x"], pairs["tiles_y"], False, interpret,
     )
-    return color[:, :H, :W], 1.0 - tfinal[:H, :W]
+    return color[:, :H, :W], 1.0 - tfinal[:H, :W], pairs["total"]
 
 
 def _activate_and_rasterize(slices, offset, cam, background, lane_valid, cfg):
@@ -698,6 +721,7 @@ def fused_prepare_render(
     check_cull: bool = True,
     pack_pairs: bool | None = None,
     cap_sort: int = 0,
+    w_full=None,
 ):
     """Inference: LoD cut + slice gather + activation + render in ONE
     executable — zero per-frame host syncs (the demo/viewer/bench hot path;
@@ -712,8 +736,19 @@ def fused_prepare_render(
     Weight-culled lanes become interior holes in the active mask, so the
     rasterizer receives the pure compaction prefix separately
     (prefix_mask) to keep the Pallas expansion's tail-only-zeros contract.
+
+    w_full: optional (cap,) bool — a cached capacity-axis weight-cull mask
+    (weight_ok[root_id], refreshed every `check_render_every` frames by the
+    caller). When given, it folds into `keep` ELEMENTWISE before compaction
+    and the per-frame check render + slice-axis gather are skipped entirely
+    (the cull is conservative — it only drops roots whose max blend weight
+    is < 1e-8 — so a few frames of staleness change the image below 8-bit
+    visibility; the reference recomputes it per frame,
+    LoG/model/level_of_gaussian.py:238-241).
     """
     cap = params["xyz"].shape[0]
+    if w_full is not None and w_full.shape[0] == cap and 0 < cap_sort < cap:
+        w_full = w_full[:cap_sort]
     if 0 < cap_sort < cap:
         # every dense stage (radius passes, cut, compaction sort) is
         # linear in the capacity axis; points past the alive bucket are
@@ -742,16 +777,6 @@ def fused_prepare_render(
             rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
         )
         root_frus = gm.frustum_flag_c(rpx, rpy, rpz, padding=0.5) & alive
-        scaling_full = jnp.exp(params["scaling"])
-        rotation_full = params["rotation"] / jnp.maximum(
-            jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True),
-            1e-12,
-        )
-        radius2d = gm.compute_radius2d(
-            params["xyz"], scaling_full, rotation_full, cam["world_view"],
-            cam["full_proj"], cam["focal_x"], cam["focal_y"],
-            cam["tan_fovx"], cam["tan_fovy"],
-        )
         radius2d_parent = gm.compute_radius2d(
             tree_arrays["parent_xyz"],
             jnp.exp(tree_arrays["parent_scaling"]),
@@ -764,15 +789,134 @@ def fused_prepare_render(
             cam["world_view"], cam["full_proj"], cam["focal_x"],
             cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
         )
+        use_cols = backend == "tiled" and "shs" not in need
+        packed_compact = (
+            pack_pairs if pack_pairs is not None else _use_packed_pairs()
+        )
+        if use_cols and packed_compact:
+            # packed fast path: project the FULL capacity axis first (one
+            # cov2d evaluation feeds both the LoD-cut radius and the render
+            # splats), bf16-pack the splat columns, and run the compaction
+            # sort over 7-8 payloads instead of 16 raw param columns (sort
+            # cost ~2.6 ms/payload at 3.4M rows — the single largest stage
+            # of the round-3 frame profile). Precision is identical to the
+            # packed pair pipeline: conic/opacity/rgb were already rounded
+            # to bf16 at the pair stage; packing them before compaction
+            # moves the rounding earlier, px/py/depth stay f32.
+            from ..ops.projection import SplatCols, project_gaussians_cols
+            from ..ops.rasterize_tiled import _pack2_bf16, _unpack2_bf16
+
+            op_full = jax.nn.sigmoid(params["opacity"][:, 0])
+            splat_full, radius2d = project_gaussians_cols(
+                params["xyz"][:, 0], params["xyz"][:, 1],
+                params["xyz"][:, 2],
+                jnp.exp(params["scaling"][:, 0]),
+                jnp.exp(params["scaling"][:, 1]),
+                jnp.exp(params["scaling"][:, 2]),
+                params["rotation"][:, 0], params["rotation"][:, 1],
+                params["rotation"][:, 2], params["rotation"][:, 3],
+                op_full, cam["world_view"], cam["full_proj"],
+                cam["focal_x"], cam["focal_y"], cam["tan_fovx"],
+                cam["tan_fovy"], image_height, image_width, mode=mode,
+                use_filter=use_filter, active_mask=alive,
+                tight_radius=True, with_cut_radius=True,
+            )
+            keep = flat_cut_pre(
+                tree_arrays["index_parent"], tree_arrays["node_index"],
+                tree_arrays["depth"], root_frus, radius2d, radius2d_parent,
+                alive, min_resolution_pixel, current_depth,
+            )
+            if w_full is not None:
+                keep = keep & w_full
+            counts = jnp.stack(
+                [jnp.sum(keep & is_leaf_opt), jnp.sum(keep & ~is_leaf_opt)]
+            )
+            # radius inflated by 2^-7 before the bf16 round so rounding can
+            # only GROW the tile rect (a shrunk rect could clip a tile row)
+            rad_up = splat_full.radius * (1.0 + 2.0 ** -7)
+            sort_cols = {
+                "px": splat_full.px,
+                "py": splat_full.py,
+                "depth": splat_full.depth,
+                "p1": _pack2_bf16(splat_full.cxx, splat_full.cxy),
+                "p2": _pack2_bf16(splat_full.cyy, splat_full.opacity),
+                "p3": _pack2_bf16(
+                    sh_to_rgb(params["colors"][:, 0]),
+                    sh_to_rgb(params["colors"][:, 1]),
+                ),
+                "p4": _pack2_bf16(sh_to_rgb(params["colors"][:, 2]), rad_up),
+            }
+            per_frame_cull = check_cull and w_full is None
+            if per_frame_cull:
+                sort_cols["root_id"] = tree_arrays["root_id"]
+            cols_s, index, lane_prefix = _compact_flat_cols_sort(
+                sort_cols, keep, k_visible
+            )
+            if per_frame_cull:
+                R = n_roots if 0 < n_roots <= cap else cap
+                cand = (
+                    gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
+                    & (tree_arrays["index_parent"][:R] == -1)
+                    & alive[:R]
+                )
+                rot_r = params["rotation"][:R]
+                weight_ok = _check_root_weights(
+                    params["xyz"][:R], op_full[:R],
+                    jnp.exp(params["scaling"][:R]),
+                    rot_r / jnp.maximum(
+                        jnp.linalg.norm(rot_r, axis=-1, keepdims=True), 1e-12
+                    ),
+                    cand, cam, image_height, image_width, mode, prep_backend,
+                    prep_max_pairs, check_scale,
+                )
+                w_sl = jnp.take(
+                    weight_ok,
+                    jnp.clip(cols_s["root_id"].astype(jnp.int32), 0, R - 1),
+                )
+                lane_valid = lane_prefix & w_sl
+            else:
+                lane_valid = lane_prefix
+            cxx_sl, cxy_sl = _unpack2_bf16(cols_s["p1"])
+            cyy_sl, op_sl = _unpack2_bf16(cols_s["p2"])
+            r_sl, g_sl = _unpack2_bf16(cols_s["p3"])
+            b_sl, rad_sl = _unpack2_bf16(cols_s["p4"])
+            valid = lane_valid & (rad_sl > 0)
+            splat_cols = SplatCols(
+                px=cols_s["px"], py=cols_s["py"], cxx=cxx_sl, cxy=cxy_sl,
+                cyy=cyy_sl, opacity=jnp.where(valid, op_sl, 0.0),
+                depth=cols_s["depth"],
+                radius=jnp.where(valid, rad_sl, 0.0), valid=valid,
+            )
+            render, alpha, pair_total = _render_tiled_cols(
+                splat_cols, (r_sl, g_sl, b_sl), background, image_height,
+                image_width, max_pairs, lane_prefix, pack_pairs=True,
+            )
+            # counts row 2: the frame's UNCLAMPED pair demand — callers
+            # (model.render_fused) right-size the next frames' max_pairs
+            # bucket from it instead of the k_visible*6 worst case
+            return render, alpha, jnp.concatenate(
+                [counts, pair_total[None]]
+            )
+        scaling_full = jnp.exp(params["scaling"])
+        rotation_full = params["rotation"] / jnp.maximum(
+            jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True),
+            1e-12,
+        )
+        radius2d = gm.compute_radius2d(
+            params["xyz"], scaling_full, rotation_full, cam["world_view"],
+            cam["full_proj"], cam["focal_x"], cam["focal_y"],
+            cam["tan_fovx"], cam["tan_fovy"],
+        )
         keep = flat_cut_pre(
             tree_arrays["index_parent"], tree_arrays["node_index"],
             tree_arrays["depth"], root_frus, radius2d, radius2d_parent,
             alive, min_resolution_pixel, current_depth,
         )
+        if w_full is not None:
+            keep = keep & w_full
         counts = jnp.stack(
             [jnp.sum(keep & is_leaf_opt), jnp.sum(keep & ~is_leaf_opt)]
         )
-        use_cols = backend == "tiled" and "shs" not in need
         if use_cols:
             # column-native fast path: the compaction sort's outputs stay
             # 1-D columns through activation/projection/pair rows — the
@@ -786,7 +930,7 @@ def fused_prepare_render(
                 cols_in, keep, k_visible
             )
             root_id_sl = cols.pop("root_id")[0]
-            if check_cull:
+            if check_cull and w_full is None:
                 R = n_roots if 0 < n_roots <= cap else cap
                 cand = (
                     gm.frustum_flag_c(rpx[:R], rpy[:R], rpz[:R], padding=0.5)
@@ -820,18 +964,20 @@ def fused_prepare_render(
                 use_filter=use_filter, active_mask=lane_valid,
                 tight_radius=True,
             )
-            render, alpha = _render_tiled_cols(
+            render, alpha, pair_total = _render_tiled_cols(
                 splat_cols, col_rgb, background, image_height, image_width,
                 max_pairs, lane_prefix, pack_pairs=pack_pairs,
             )
-            return render, alpha, counts
+            return render, alpha, jnp.concatenate(
+                [counts, pair_total[None]]
+            )
         cols = {kk: params[kk] for kk in need}
         cols["root_id"] = tree_arrays["root_id"][:, None]
         slices, index, lane_prefix = _compact_slices_sort(
             cols, keep, k_visible
         )
         root_id_sl = slices.pop("root_id")[:, 0]
-        if check_cull:
+        if check_cull and w_full is None:
             R = n_roots if 0 < n_roots <= cap else cap
             xyz_r = params["xyz"][:R]
             cand = (
@@ -917,7 +1063,9 @@ def fused_prepare_render(
         )
     else:
         out = rasterize_ref.rasterize(**kwargs)
-    return out["render"], out["alpha"], counts
+    return out["render"], out["alpha"], jnp.concatenate(
+        [counts, jnp.full((1,), -1, counts.dtype)]
+    )
 
 
 def _check_root_weights(
@@ -1002,6 +1150,78 @@ def _check_root_weights(
         chunk=64,
     )
     return check["point_weight"] > 1e-8
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "image_height",
+        "image_width",
+        "mode",
+        "prep_backend",
+        "prep_max_pairs",
+        "check_scale",
+        "n_roots",
+        "cap_sort",
+    ),
+)
+def fused_root_cull(
+    params: dict,
+    tree_arrays: dict,
+    cam: dict,
+    n_alive: jax.Array,
+    image_height: int,
+    image_width: int,
+    mode: str = "antialias",
+    prep_backend: str = "tiled",
+    prep_max_pairs: int = 1 << 20,
+    check_scale: int = 1,
+    n_roots: int = 0,
+    cap_sort: int = 0,
+):
+    """Capacity-axis weight-cull mask: run the root check render
+    (render_to_check semantics, LoG/model/level_of_gaussian.py:207-241)
+    and expand weight_ok to every point via its cached root_id — ONE
+    capacity-axis gather. The result feeds fused_prepare_render(w_full=...)
+    which folds it into the LoD cut ELEMENTWISE, so frames between
+    refreshes pay neither the check render nor the per-frame slice gather
+    (the cull is conservative: threshold 1e-8 max blend weight).
+    Returns (cap_sort,) bool."""
+    from ..ops import gaussian_math as gm
+
+    cap = params["xyz"].shape[0]
+    if 0 < cap_sort < cap:
+        params = {k: v[:cap_sort] for k, v in params.items()}
+        tree_arrays = {
+            k: (v[:cap_sort] if v.ndim >= 1 and v.shape[0] == cap else v)
+            for k, v in tree_arrays.items()
+        }
+        cap = cap_sort
+    alive = jnp.arange(cap) < n_alive
+    R = n_roots if 0 < n_roots <= cap else cap
+    x = params["xyz"][:R]
+    px, py, pz, _ = gm.project_ndc_c(
+        x[:, 0], x[:, 1], x[:, 2], cam["full_proj"]
+    )
+    cand = (
+        gm.frustum_flag_c(px, py, pz, padding=0.5)
+        & (tree_arrays["index_parent"][:R] == -1)
+        & alive[:R]
+    )
+    rot_r = params["rotation"][:R]
+    weight_ok = _check_root_weights(
+        x,
+        jax.nn.sigmoid(params["opacity"][:R, 0]),
+        jnp.exp(params["scaling"][:R]),
+        rot_r / jnp.maximum(
+            jnp.linalg.norm(rot_r, axis=-1, keepdims=True), 1e-12
+        ),
+        cand, cam, image_height, image_width, mode, prep_backend,
+        prep_max_pairs, check_scale,
+    )
+    return jnp.take(
+        weight_ok, jnp.clip(tree_arrays["root_id"].astype(jnp.int32), 0, R - 1)
+    )
 
 
 @partial(

@@ -168,13 +168,21 @@ def project_gaussians_cols(
     use_filter: bool = True,
     active_mask=None,
     tight_radius: bool = False,
-) -> SplatCols:
+    with_cut_radius: bool = False,
+    cut_padding: float = 0.3,
+):
     """project_gaussians on COLUMN inputs/outputs — identical math, zero
     (P, k) materializations (see SplatCols). Inference path only (no
-    means2d_offset cotangent)."""
+    means2d_offset cotangent).
+
+    with_cut_radius=True additionally returns the LoD-cut radius
+    (compute_radius2d semantics: 'clamp' low-pass + padded-frustum gating,
+    LoG/cuda/compute_radius_kernel.cu:107-156) from the SAME cov2d
+    evaluation — the full-capacity-axis inference path projects once and
+    derives both the cut decision and the render splats from it."""
     tx, ty, tz = gm.transform_point_c(x, y, z, world_view)
     depth = tz
-    ndc_x, ndc_y, _, _ = gm.project_ndc_c(x, y, z, full_proj)
+    ndc_x, ndc_y, ndc_z, _ = gm.project_ndc_c(x, y, z, full_proj)
     pix_x = gm.ndc_to_pix(ndc_x, image_width)
     pix_y = gm.ndc_to_pix(ndc_y, image_height)
 
@@ -182,6 +190,13 @@ def project_gaussians_cols(
     cxx, cxy, cyy = gm.ewa_cov2d_c(
         cov3d_c, tx, ty, tz, world_view, focal_x, focal_y, tan_fovx, tan_fovy
     )
+    if with_cut_radius:
+        kxx, kxy, kyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="clamp")
+        cut_vis = gm.frustum_flag_c(ndc_x, ndc_y, ndc_z, padding=cut_padding)
+        cut_det = kxx * kyy - kxy * kxy
+        cut_radius = jnp.where(
+            cut_vis & (cut_det > 0), gm.cov2d_radius(kxx, kxy, kyy), 0.0
+        )
     det_raw = cxx * cyy - cxy * cxy
     if mode == "original":
         ucxx, ucxy, ucyy = gm.dilate_cov2d(cxx, cxy, cyy, mode="add")
@@ -213,7 +228,10 @@ def project_gaussians_cols(
         valid = valid & active_mask
     radius = jnp.where(valid, radius, 0.0)
     op = jnp.where(valid, op, 0.0)
-    return SplatCols(
+    splats = SplatCols(
         px=pix_x, py=pix_y, cxx=icxx, cxy=icxy, cyy=icyy, opacity=op,
         depth=depth, radius=radius, valid=valid,
     )
+    if with_cut_radius:
+        return splats, cut_radius
+    return splats

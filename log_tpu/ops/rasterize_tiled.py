@@ -467,6 +467,12 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
     csum_f = jnp.cumsum(n_tiles_g.astype(jnp.float32))
     offsets_f = csum_f - n_tiles_g.astype(jnp.float32)
     total_c = jnp.clip(csum_f[-1], 0.0, float(A)).astype(jnp.int32)
+    # unclamped demand (clipped to 2^30 for int32 safety): what max_pairs
+    # WOULD need to be for zero overflow truncation — callers use it to
+    # right-size the pair budget frame-over-frame
+    total_unclamped = jnp.minimum(csum_f[-1], float(1 << 30)).astype(
+        jnp.int32
+    )
     offsets_c = jnp.minimum(offsets_f, float(A)).astype(jnp.int32)
     offsets = offsets_c  # overflow runs scatter out of range
 
@@ -561,13 +567,23 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         # inference-only sort: 6 packed payloads instead of 12
         # (10 values + gid + perm). px/py stay f32; conic/opacity/rgb
         # pack as bf16 pairs; no grad path (no perm), no stats (no gid).
+        # Opacity rides as LOG(op): the packed kernel evaluates the splat
+        # quadratic q = power + log(op) via ONE small MXU matmul
+        # (pair-coefficients @ pixel-basis) instead of ~10 VPU passes of
+        # (chunk, TILE_PIX) elementwise math, and alpha = exp(q) directly.
+        # Zero/sanitized lanes (op = 0) clamp to log(1e-38) = -87.5, so
+        # exp(q) underflows to an exact 0 instead of propagating -inf
+        # through the matmul.
         shift = _pack_shift(num_tiles)
         dbits = jax.lax.bitcast_convert_type(
             depth_key.astype(jnp.float32), jnp.uint32
         )
         key = (tile_id.astype(jnp.uint32) << shift) | (dbits >> (32 - shift))
         p1 = _pack2_bf16(val_pc[ROW_CXX], val_pc[ROW_CXY])
-        p2 = _pack2_bf16(val_pc[ROW_CYY], val_pc[ROW_OPAC])
+        p2 = _pack2_bf16(
+            val_pc[ROW_CYY],
+            jnp.log(jnp.maximum(val_pc[ROW_OPAC], 1e-38)),
+        )
         p3 = _pack2_bf16(val_pc[ROW_R], val_pc[ROW_G])
         p4 = _pack2_bf16(val_pc[ROW_B], jnp.zeros_like(val_pc[ROW_B]))
         sorted_ops = jax.lax.sort(
@@ -585,6 +601,7 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
             "tiles_x": tiles_x,
             "tiles_y": tiles_y,
             "num_tiles": num_tiles,
+            "total": total_unclamped,
         }
     tile_s, gid_s, values_s, perm_s = sort_pairs(
         tile_id, depth_key, gid_pc, val_pc, num_tiles
@@ -600,6 +617,7 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
         "num_tiles": num_tiles,
         "radius": radius,
         "valid": valid,
+        "total": total_unclamped,
     }
 
 
@@ -657,6 +675,7 @@ def build_pairs(splats, colors, image_height, image_width, max_pairs,
     packed["pair_real"] = es["real"]  # pre-sort real mask (for reference)
     packed["radius"] = es["radius"]
     packed["valid"] = es["valid"]
+    packed["total"] = es["total"]
     return packed
 
 
@@ -958,8 +977,25 @@ def _fwd_kernel_packed(
     tile_y = t // tiles_x
     tile_x = t - tile_y * tiles_x
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_PIX), 1)
-    pix_x = (tile_x * TILE_W + lane % TILE_W).astype(jnp.float32)
-    pix_y = (tile_y * TILE_H + lane // TILE_W).astype(jnp.float32)
+    # TILE-LOCAL pixel coords: the splat quadratic is evaluated as
+    # coeffs(chunk, 8) @ basis(8, TILE_PIX) on the MXU — one small matmul
+    # replacing ~10 VPU elementwise passes of (chunk, TILE_PIX). Local
+    # coords keep the expanded-quadratic coefficients small (|a0| <~ 1e4
+    # for on-screen splats), so the f32(HIGHEST) matmul's cancellation
+    # error stays ~1e-3 absolute on q — the same order as the bf16 conic
+    # rounding the packed pipeline already carries.
+    loc_x = (lane % TILE_W).astype(jnp.float32)
+    loc_y = (lane // TILE_W).astype(jnp.float32)
+    basis = jnp.concatenate(
+        [
+            jnp.ones_like(loc_x), loc_x, loc_y,
+            loc_x * loc_x, loc_x * loc_y, loc_y * loc_y,
+            jnp.zeros_like(loc_x), jnp.zeros_like(loc_x),
+        ],
+        axis=0,
+    )  # (8, TILE_PIX)
+    tile_x0 = (tile_x * TILE_W).astype(jnp.float32)
+    tile_y0 = (tile_y * TILE_H).astype(jnp.float32)
 
     def get_dma(slot, c):
         off = pl.multiple_of(off0 + c * PAIR_CHUNK, PAIR_CHUNK)
@@ -991,21 +1027,45 @@ def _fwd_kernel_packed(
         c3 = jax.lax.bitcast_convert_type(d[P_ROW_R_G, :], jnp.uint32)
         c4 = jax.lax.bitcast_convert_type(d[P_ROW_B, :], jnp.uint32)
         cxx, cxy = _unpack2_bf16(c1)
-        cyy, opac = _unpack2_bf16(c2)
+        cyy, logop = _unpack2_bf16(c2)  # opacity rides as log(op)
         col_r, col_g = _unpack2_bf16(c3)
         col_b, _ = _unpack2_bf16(c4)
 
-        dx = d[P_ROW_PX, :][:, None] - pix_x
-        dy = d[P_ROW_PY, :][:, None] - pix_y
-        power = (
-            -0.5 * (cxx[:, None] * dx * dx + cyy[:, None] * dy * dy)
-            - cxy[:, None] * dx * dy
+        # q(X, Y) = power + log(op), expanded in tile-local pixel coords:
+        # q = a0 + a1 X + a2 Y - 0.5 cxx X^2 - cxy XY - 0.5 cyy Y^2
+        pxl = d[P_ROW_PX, :] - tile_x0
+        pyl = d[P_ROW_PY, :] - tile_y0
+        a1 = cxx * pxl + cxy * pyl
+        a2 = cyy * pyl + cxy * pxl
+        a0 = (
+            -0.5 * (cxx * pxl * pxl + cyy * pyl * pyl)
+            - cxy * pxl * pyl
+            + logop
         )
-        alpha = jnp.minimum(ALPHA_MAX, opac[:, None] * jnp.exp(power))
+        zero_c = jnp.zeros_like(a0)
+        coef = jnp.concatenate(
+            [
+                a0[:, None], a1[:, None], a2[:, None],
+                (-0.5 * cxx)[:, None], (-cxy)[:, None], (-0.5 * cyy)[:, None],
+                zero_c[:, None], zero_c[:, None],
+            ],
+            axis=1,
+        )  # (PAIR_CHUNK, 8)
+        q = jax.lax.dot_general(
+            coef, basis, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (PAIR_CHUNK, TILE_PIX)
+        alpha = jnp.minimum(ALPHA_MAX, jnp.exp(q))
         g_global = off0 + c * PAIR_CHUNK + g_iota
         in_range = (g_global >= start) & (g_global < start + count)
+        # q <= logop <=> power <= 0 (the Inria in-ellipse gate). Slack
+        # 1e-2: the exact form is PSD so power == 0 AT the splat center —
+        # matmul noise (~1e-3) must not reject center pixels (the clamp
+        # above already bounds alpha at ALPHA_MAX).
         alpha = jnp.where(
-            (power <= 0.0) & (alpha >= ALPHA_MIN) & in_range, alpha, 0.0
+            (q <= logop[:, None] + 1e-2) & (alpha >= ALPHA_MIN) & in_range,
+            alpha, 0.0,
         )
 
         one_minus = 1.0 - alpha
@@ -1118,10 +1178,11 @@ def render_pairs_packed(splats, colors, background, image_height, image_width,
             [jnp.stack(es["packed6"], axis=0), pad], axis=0
         )
         pair_data = jnp.pad(pair_data, ((0, 0), (0, PAIR_CHUNK)))
-    return _run_forward_packed(
+    color, tfinal = _run_forward_packed(
         pair_data, starts[:-1], starts[1:] - starts[:-1], background,
         es["tiles_x"], es["tiles_y"], interpret,
     )
+    return color, tfinal, es["total"]
 
 
 # --------------------------------------------------------------------------

@@ -64,14 +64,66 @@ def test_flat_slice_matches_flat():
         params, tree_dev, cam, cut_method="flat_slice", **common
     )
     # the pre-cut counts are a superset of the culled counts
-    assert int(counts_sl.sum()) >= int(counts_flat.sum()) > 0
-    # atol 5e-3 (~1.3 LSB at 8 bit): the two paths compact different
+    assert int(counts_sl[:2].sum()) >= int(counts_flat[:2].sum()) > 0
+    # atol 1e-2 (~2.6 LSB at 8 bit): the two paths compact different
     # lane sets (superset with holes vs exact), so equal-key pairs
-    # tie-break differently under the unstable pair sort, and the
-    # inference kernel's bf16 accumulation amplifies the ordering noise
+    # tie-break differently under the unstable pair sort; the flat_slice
+    # path additionally rounds conic/opacity/rgb/radius to bf16 before the
+    # compaction sort (packed payloads), so isolated rect-fringe pixels
+    # near the 1/255 alpha threshold flip inclusion
     np.testing.assert_allclose(
-        np.asarray(img_sl), np.asarray(img_flat), atol=5e-3,
+        np.asarray(img_sl), np.asarray(img_flat), atol=1e-2,
     )
     np.testing.assert_allclose(
-        np.asarray(alpha_sl), np.asarray(alpha_flat), atol=5e-3,
+        np.asarray(alpha_sl), np.asarray(alpha_flat), atol=1e-2,
+    )
+
+
+def test_w_full_cached_cull_matches_per_frame():
+    """fused_prepare_render(w_full=fused_root_cull(...)) — the amortized
+    capacity-axis cull — must render the same image as the per-frame
+    slice-axis cull (same camera => same cull decision; only compaction
+    lane sets / pair tie-breaks differ)."""
+    from log_tpu.model.train_step import fused_root_cull
+
+    n_roots = 3000
+    _, _, n = tree_sizes(n_roots)
+    cap = next_capacity(n)
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(1), n_roots, cap
+    )
+    n_roots_bucket = min(next_capacity(n_roots, 256), cap)
+    cam = make_cam(1.1)
+    common = dict(
+        n_alive=jnp.int32(n),
+        is_leaf_opt=is_leaf_opt,
+        min_resolution_pixel=jnp.float32(3.0),
+        current_depth=jnp.int32(20),
+        background=jnp.zeros(3, jnp.float32),
+        image_height=H, image_width=W,
+        k_visible=next_capacity(n, 256),
+        sh_degree=0, stage_has_tree=True, num_levels=3,
+        backend="tiled", max_pairs=1 << 16, check_scale=4,
+        n_roots=n_roots_bucket, cut_method="flat_slice",
+        prep_backend="tiled", prep_max_pairs=1 << 15,
+    )
+    img_pf, alpha_pf, counts_pf = fused_prepare_render(
+        params, tree_dev, cam, **common
+    )
+    w_full = fused_root_cull(
+        params, tree_dev, cam, jnp.int32(n), H, W,
+        prep_backend="tiled", prep_max_pairs=1 << 15, check_scale=4,
+        n_roots=n_roots_bucket,
+    )
+    assert w_full.shape == (cap,) and w_full.dtype == jnp.bool_
+    img_wf, alpha_wf, counts_wf = fused_prepare_render(
+        params, tree_dev, cam, w_full=w_full, **common
+    )
+    # the w_full cut folds the cull BEFORE compaction => counts shrink
+    assert 0 < int(counts_wf[:2].sum()) <= int(counts_pf[:2].sum())
+    np.testing.assert_allclose(
+        np.asarray(img_wf), np.asarray(img_pf), atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_wf), np.asarray(alpha_pf), atol=1e-2
     )

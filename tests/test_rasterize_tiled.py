@@ -315,7 +315,7 @@ def test_packed_inference_matches_full_precision():
         args["colors"][:, c] for c in range(3)
     )
     prefix = jnp.ones((60,), bool)
-    color_p, tfinal_p = render_pairs_packed(
+    color_p, tfinal_p, _total = render_pairs_packed(
         splat_cols, colors, args["background"], H, W, 4096, prefix,
         interpret=True,
     )

@@ -92,7 +92,7 @@ def test_sharded_matches_single_chip(scene):
     stats = np.asarray(stats)
     assert stats[2] == 0, f"bucket overflow {stats}"
     # same cut
-    assert stats[0] == int(np.asarray(counts).sum())
+    assert stats[0] == int(np.asarray(counts)[:2].sum())
     # tolerance: the inference kernel's bf16 cumprod regroups products at
     # different chunk boundaries per band -> ~1e-3 worst-case pixel delta
     np.testing.assert_allclose(np.asarray(img), ref_img, atol=2e-3)
