@@ -189,12 +189,77 @@ def main():
 
     from log_tpu.model.train_step import fused_root_cull
 
-    def root_cull(cam):
+    def root_cull(cam, full_cap=False):
         return fused_root_cull(
             params, tree_dev, cam, jnp.int32(n), H, W,
             prep_backend="tiled", prep_max_pairs=1 << 19, check_scale=4,
-            n_roots=n_roots_bucket, cap_sort=cap_sort,
+            n_roots=n_roots_bucket, cap_sort=0 if full_cap else cap_sort,
         )
+
+    from log_tpu.model.block_render import (
+        block_size_for, build_block_cache, render_blocks,
+    )
+
+    S_blk = block_size_for(cap)
+    blk_cols, blk_meta = build_block_cache(
+        params, tree_dev, is_leaf_opt, jnp.int32(n), S_blk
+    )
+    B_blk = cap // S_blk
+
+    def measure_blocks(min_res, label, cull_every=4):
+        """Production demo path (model.render_fused with
+        optimize_render_layout + check_render_every): block-pruned frame
+        + cached capacity-axis weight cull, refreshed every `cull_every`
+        frames INSIDE the timed loop. The synthetic tree is level-ordered,
+        so coarse cuts prune deep blocks; spatial pruning needs partial
+        views (urban cameras) and is exercised in tests."""
+        w0 = root_cull(pcams[0], full_cap=True)
+        _, _, counts = render_blocks(
+            blk_cols, blk_meta, pcams[0], jnp.float32(min_res),
+            jnp.int32(20), jnp.zeros(3, jnp.float32), H, W,
+            k_blocks=B_blk, k_visible=min(1 << 21, cap),
+            max_pairs=1 << 21, w_full=w0,
+        )
+        c = np.asarray(counts)
+        cut = int(c[:2].sum())
+        k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
+        max_pairs = pick_max_pairs(int(max(c[2], 1) * 1.25), per_point=1)
+        n_elig = int(c[3])
+        kb = min(B_blk, max(16, -(-int(n_elig * 1.2) // 16) * 16))
+
+        def frame(cam, w_full):
+            img, _, cc = render_blocks(
+                blk_cols, blk_meta, cam, jnp.float32(min_res),
+                jnp.int32(20), jnp.zeros(3, jnp.float32), H, W,
+                k_blocks=kb, k_visible=k_vis, max_pairs=max_pairs,
+                w_full=w_full,
+            )
+            return img
+
+        float(checksum(frame(pcams[0], w0)))
+        float(checksum(frame(pcams[1], w0)))
+        t0 = time.perf_counter()
+        w = w0
+        for i in range(FRAMES):
+            if i % cull_every == 0:
+                w = root_cull(pcams[2 + i], full_cap=True)
+            img = frame(pcams[2 + i], w)
+        float(checksum(img))
+        dt = (time.perf_counter() - t0) / FRAMES
+        return {
+            "label": label,
+            "fps": round(1.0 / dt, 3),
+            "ms_per_frame": round(dt * 1000, 2),
+            "min_res_pixel": min_res,
+            "cut": cut,
+            "k_vis": k_vis,
+            "max_pairs": max_pairs,
+            "pairs_demand": int(c[2]),
+            "k_blocks": kb,
+            "blocks_eligible": n_elig,
+            "blocks_total": B_blk,
+            "cull_every": cull_every,
+        }
 
     def measure(min_res, label, cull_every=0):
         """cull_every=0: per-frame weight cull (reference semantics,
@@ -270,11 +335,11 @@ def main():
         }
 
     head = measure(3.0, "reference_default_minres3")
-    head_amort = measure(3.0, "minres3_cull_every4", cull_every=4)
+    head_amort = measure_blocks(3.0, "minres3_blocks_cull4")
     mr_real = find_min_res_for_cut(300_000)
     realistic = measure(mr_real, f"realistic_live_set_minres{mr_real:g}")
-    real_amort = measure(
-        mr_real, f"realistic_minres{mr_real:g}_cull_every4", cull_every=4
+    real_amort = measure_blocks(
+        mr_real, f"realistic_minres{mr_real:g}_blocks_cull4"
     )
 
     print(
@@ -290,9 +355,9 @@ def main():
                 "max_pairs": head["max_pairs"],
                 "pairs_measured": head["pairs_measured"],
                 "ms_per_frame": head["ms_per_frame"],
-                "amortized_cull": head_amort,
+                "blocks_cull4": head_amort,
                 "secondary": realistic,
-                "secondary_amortized": real_amort,
+                "secondary_blocks_cull4": real_amort,
             }
         )
     )

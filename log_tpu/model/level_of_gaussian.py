@@ -73,6 +73,8 @@ class LoG:
         self._cull_mask_dev = None
         self._cull_frame_i = 0
         self._cull_bucket = None
+        self._block_cache = None
+        self._layout_optimized = False
         self.current_depth = 0
         self.training = True
         self.stage_name = "init"
@@ -232,6 +234,18 @@ class LoG:
                     jnp.clip(self._tree_dev["root_id"], 0, cap - 1),
                     axis=0,
                 )
+                if getattr(self, "_layout_optimized", False):
+                    from .block_render import (
+                        block_size_for, build_block_cache,
+                    )
+
+                    S = block_size_for(cap)
+                    cols, meta = build_block_cache(
+                        params, self._tree_dev, self._leaf_opt_dev,
+                        jnp.int32(self.num_points), S,
+                    )
+                    self._block_cache = {"cols": cols, "meta": meta, "S": S}
+                    self._kb_bucket = None
         else:
             self._leaf_opt_dev = jnp.zeros((cap,), bool)
 
@@ -642,6 +656,14 @@ class LoG:
                 pb = getattr(self, "_pair_bucket", None)
                 if pb is None or pneed > pb or pneed * 2 < pb:
                     self._pair_bucket = pneed
+            # block-path bucket: counts[3] = eligible blocks last frame
+            if len(c) > 3 and self._block_cache is not None:
+                S = self._block_cache["S"]
+                B = self.capacity // S
+                kb = getattr(self, "_kb_bucket", None) or B
+                need = min(B, max(16, -(-int(c[3] * 1.1) // 16) * 16))
+                if need > kb or need * 2 < kb:
+                    self._kb_bucket = need
         # static alive-bucket: sorts/dense passes run over [:cap_sort]
         # instead of the full capacity (up to ~30% of the frame when the
         # capacity bucket has headroom); recompiles only at bucket jumps
@@ -688,6 +710,50 @@ class LoG:
                 self._cull_bucket = cap_sort
             self._cull_frame_i += 1
             w_full = self._cull_mask_dev
+        use_blocks = (
+            getattr(self, "_layout_optimized", False)
+            and self._block_cache is not None
+            and stage_has_tree
+            and self.cut_method == "flat_slice"
+            and self.gaussian.active_sh_degree == 0
+            and backend == "tiled"
+        )
+        if use_blocks:
+            # block-pruned frame: per-frame cost scales with the eligible
+            # working set (block_render.py). Per-frame weight cull is not
+            # supported on this path — it needs check_render_every > 1
+            # (w_full) or no cull; otherwise fall through.
+            if w_full is not None and w_full.shape[0] < self.capacity:
+                w_full = jnp.pad(
+                    w_full, (0, self.capacity - w_full.shape[0])
+                )
+            from .block_render import render_blocks
+
+            S = self._block_cache["S"]
+            B = self.capacity // S
+            kb = getattr(self, "_kb_bucket", None) or B
+            mp = min(
+                pick_max_pairs(k_vis, per_point=6),
+                getattr(self, "_pair_bucket", None)
+                or pick_max_pairs(k_vis, per_point=6),
+            )
+            render, alpha, counts = render_blocks(
+                self._block_cache["cols"],
+                self._block_cache["meta"],
+                cam,
+                jnp.float32(self.tree.min_resolution_pixel),
+                jnp.int32(self.current_depth),
+                jnp.asarray(background, jnp.float32),
+                cam["image_height"], cam["image_width"],
+                k_blocks=kb, k_visible=k_vis, max_pairs=mp,
+                w_full=w_full,
+            )
+            self._render_counts_dev = counts
+            try:
+                counts.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass
+            return {"render": render, "alpha": alpha}
         render, alpha, counts = fused_prepare_render(
             self.gaussian.params(),
             tree_arrays,
@@ -1240,6 +1306,76 @@ class LoG:
                     self.counter.reset(self.num_points, self.capacity)
             return True
         return False
+
+    # ------------------------------------------------- render layout / blocks
+    def optimize_render_layout(self, morton_bits: int = 10):
+        """Reorder rows DEPTH-MAJOR, MORTON-MINOR for block-prunable
+        rendering (block_render.py): coarse LoD cuts map to a level
+        prefix, camera frustums map to contiguous spatial cells, so the
+        per-block eligibility test actually prunes. Inference-only (call
+        after load_state_dict / before demo/val loops); training state
+        (optimizer moments) is not remapped.
+
+        The reference gets the same effect from its pointer-chasing tree
+        traversal (LoG/model/tensor_tree.py:131-186); a flat TPU layout
+        has to encode the hierarchy in the ROW ORDER instead."""
+        assert self.optimizer is None, (
+            "optimize_render_layout is inference-only: optimizer moments "
+            "are not remapped"
+        )
+        n = self.num_points
+        if n == 0 or self.tree.num_points == 0:
+            return
+        t = self.tree
+        t.ensure_root_id()
+        xyz = np.asarray(self.gaussian.get("xyz"))[:n]
+        lo = xyz.min(axis=0)
+        span = np.maximum(xyz.max(axis=0) - lo, 1e-9)
+        q = np.minimum(
+            ((xyz - lo) / span * (1 << morton_bits)).astype(np.int64),
+            (1 << morton_bits) - 1,
+        )
+        morton = np.zeros(n, np.int64)
+        for b in range(morton_bits):
+            for ax in range(3):
+                morton |= ((q[:, ax] >> b) & 1) << (3 * b + ax)
+        key = t.depth[:n].astype(np.int64) << (3 * morton_bits)
+        key |= morton
+        perm = np.argsort(key, kind="stable").astype(np.int64)
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n, dtype=np.int64)
+
+        def remap_vals(a):
+            out = np.asarray(a).copy()
+            pos = out >= 0
+            out[pos] = inv[out[pos]]
+            return out
+
+        arrays = self.gaussian.to_numpy()
+        self.gaussian.set_numpy({k: v[perm] for k, v in arrays.items()})
+        for key_c, val in list(self.counter.data.items()):
+            v = np.asarray(val)
+            if v.shape[0] >= n and v.ndim >= 1:
+                v = v.copy()
+                v[:n] = v[:n][perm]
+                self.counter.data[key_c] = jnp.asarray(v)
+        t.node_index = t.node_index[perm]
+        t.index_parent = remap_vals(t.index_parent[perm])
+        t.local_index = t.local_index[perm]
+        t.depth = t.depth[perm]
+        t.root_id = remap_vals(t.root_id[perm])
+        t.root_index = np.sort(remap_vals(t.root_index))
+        t.tree = remap_vals(t.tree)
+        self._tree_dev = None
+        self._block_cache = None
+        self._render_bucket = None
+        self._render_counts_dev = None
+        self._layout_optimized = True
+        self._refresh_device_caches()
+        print(
+            f"[{self.__class__.__name__}] render layout optimized: "
+            f"depth-major/morton over {n} rows"
+        )
 
     # --------------------------------------------------------- checkpoint
     def state_dict(self) -> dict:
