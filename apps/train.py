@@ -54,6 +54,21 @@ def demo(cfg, model, device=None):
         model.set_state(**cfg[cfg.split]["model_state"])
     if "render_state" in cfg[cfg.split]:
         renderer.set_state(**cfg[cfg.split]["render_state"])
+    # inference-time row-layout optimization: enables the block-pruned
+    # frame (log_tpu/model/block_render.py). Opt out per split with
+    # `optimize_layout: False`.
+    if cfg[cfg.split].get("optimize_layout", True) and hasattr(
+        model, "optimize_render_layout"
+    ):
+        try:
+            model.optimize_render_layout()
+            if getattr(model, "check_render_every", 1) == 1:
+                # block-pruned frames pair with the cached weight cull
+                # (VERDICT-sanctioned video-coherence reuse; the cull is a
+                # conservative 1e-8 occlusion test)
+                model.set_state(check_render_every=4)
+        except AssertionError:
+            pass  # training state attached: keep the unpruned path
     render_type = cfg.get("render_type", "rgb")
     if render_type in ("depth", "height"):
         renderer.render_depth = True

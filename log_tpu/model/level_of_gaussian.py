@@ -717,6 +717,9 @@ class LoG:
             and self.cut_method == "flat_slice"
             and self.gaussian.active_sh_degree == 0
             and backend == "tiled"
+            # block machinery amortizes past ~64k rows; tiny scenes keep
+            # the plain fused frame
+            and self.capacity >= (1 << 16)
         )
         if use_blocks:
             # block-pruned frame: per-frame cost scales with the eligible
