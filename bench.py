@@ -334,6 +334,16 @@ def main():
             "cull_every": cull_every or "per_frame",
         }
 
+    def hbm_stats():
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            return {
+                "hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / 2**30, 3),
+                "hbm_limit_gb": round(ms.get("bytes_limit", 0) / 2**30, 3),
+            }
+        except Exception:
+            return {}
+
     head = measure(3.0, "reference_default_minres3")
     head_amort = measure_blocks(3.0, "minres3_blocks_cull4")
     mr_real = find_min_res_for_cut(300_000)
@@ -356,6 +366,7 @@ def main():
                 "pairs_measured": head["pairs_measured"],
                 "ms_per_frame": head["ms_per_frame"],
                 "blocks_cull4": head_amort,
+                **hbm_stats(),
                 "secondary": realistic,
                 "secondary_blocks_cull4": real_amort,
             }

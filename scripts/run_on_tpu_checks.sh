@@ -20,9 +20,19 @@ TESTS=(
   tests/test_rasterize_tiled.py
   tests/test_expand_pallas.py
   tests/test_compact_sort.py
+  tests/test_block_render.py
+  tests/test_flat_slice.py
 )
 echo "=== on-TPU check lane: $(date -u +%FT%TZ) ==="
-python -m pytest "${TESTS[@]}" -q -x 2>&1 | grep -v "cpu_aot_loader\|Compile machine\|SIGILL"
-rc=$?
+rc=0
+# one pytest per file: progress is visible between files, and a wedged
+# remote compile only stalls its own file
+for t in "${TESTS[@]}"; do
+  echo "--- $t $(date -u +%T)"
+  stdbuf -oL python -m pytest "$t" -q -x 2>&1 \
+    | grep --line-buffered -v "cpu_aot_loader\|Compile machine\|SIGILL"
+  r=${PIPESTATUS[0]}
+  [ "$r" -ne 0 ] && rc=$r
+done
 echo "=== on-TPU check lane rc=$rc ==="
 exit $rc
