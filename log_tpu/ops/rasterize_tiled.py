@@ -108,6 +108,9 @@ def _unpack2_bf16(u32row):
 #                log+exp transcendental passes: ~390k transcendentals per
 #                chunk are about half the kernel's per-chunk cost)
 CUMPROD_IMPL = os.environ.get("LOG_TPU_CUMPROD", "matmul")
+# packed-kernel splat evaluation: MXU quadratic form (default) vs plain
+# VPU elementwise (LOG_TPU_QUADFORM=0 — fallback knob for Mosaic issues)
+_QUADFORM = os.environ.get("LOG_TPU_QUADFORM", "1") not in ("0", "false", "")
 
 
 def _is_tpu() -> bool:
@@ -1031,41 +1034,56 @@ def _fwd_kernel_packed(
         col_r, col_g = _unpack2_bf16(c3)
         col_b, _ = _unpack2_bf16(c4)
 
-        # q(X, Y) = power + log(op), expanded in tile-local pixel coords:
-        # q = a0 + a1 X + a2 Y - 0.5 cxx X^2 - cxy XY - 0.5 cyy Y^2
-        pxl = d[P_ROW_PX, :] - tile_x0
-        pyl = d[P_ROW_PY, :] - tile_y0
-        a1 = cxx * pxl + cxy * pyl
-        a2 = cyy * pyl + cxy * pxl
-        a0 = (
-            -0.5 * (cxx * pxl * pxl + cyy * pyl * pyl)
-            - cxy * pxl * pyl
-            + logop
-        )
-        zero_c = jnp.zeros_like(a0)
-        coef = jnp.concatenate(
-            [
-                a0[:, None], a1[:, None], a2[:, None],
-                (-0.5 * cxx)[:, None], (-cxy)[:, None], (-0.5 * cyy)[:, None],
-                zero_c[:, None], zero_c[:, None],
-            ],
-            axis=1,
-        )  # (PAIR_CHUNK, 8)
-        q = jax.lax.dot_general(
-            coef, basis, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (PAIR_CHUNK, TILE_PIX)
-        alpha = jnp.minimum(ALPHA_MAX, jnp.exp(q))
+        if _QUADFORM:
+            # q(X, Y) = power + log(op), expanded in tile-local pixel
+            # coords: q = a0 + a1 X + a2 Y - 0.5 cxx X^2 - cxy XY
+            #             - 0.5 cyy Y^2
+            pxl = d[P_ROW_PX, :] - tile_x0
+            pyl = d[P_ROW_PY, :] - tile_y0
+            a1 = cxx * pxl + cxy * pyl
+            a2 = cyy * pyl + cxy * pxl
+            a0 = (
+                -0.5 * (cxx * pxl * pxl + cyy * pyl * pyl)
+                - cxy * pxl * pyl
+                + logop
+            )
+            zero_c = jnp.zeros_like(a0)
+            coef = jnp.concatenate(
+                [
+                    a0[:, None], a1[:, None], a2[:, None],
+                    (-0.5 * cxx)[:, None], (-cxy)[:, None],
+                    (-0.5 * cyy)[:, None], zero_c[:, None], zero_c[:, None],
+                ],
+                axis=1,
+            )  # (PAIR_CHUNK, 8)
+            q = jax.lax.dot_general(
+                coef, basis, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (PAIR_CHUNK, TILE_PIX)
+            alpha = jnp.minimum(ALPHA_MAX, jnp.exp(q))
+            gate = q <= logop[:, None] + 1e-2
+        else:
+            # LOG_TPU_QUADFORM=0 fallback: plain VPU elementwise splat
+            # evaluation (identical math, ~10 extra passes per chunk)
+            dx = d[P_ROW_PX, :][:, None] - (tile_x0 + loc_x)
+            dy = d[P_ROW_PY, :][:, None] - (tile_y0 + loc_y)
+            power = (
+                -0.5 * (cxx[:, None] * dx * dx + cyy[:, None] * dy * dy)
+                - cxy[:, None] * dx * dy
+            )
+            alpha = jnp.minimum(
+                ALPHA_MAX, jnp.exp(power + logop[:, None])
+            )
+            gate = power <= 0.0
         g_global = off0 + c * PAIR_CHUNK + g_iota
         in_range = (g_global >= start) & (g_global < start + count)
-        # q <= logop <=> power <= 0 (the Inria in-ellipse gate). Slack
-        # 1e-2: the exact form is PSD so power == 0 AT the splat center —
-        # matmul noise (~1e-3) must not reject center pixels (the clamp
-        # above already bounds alpha at ALPHA_MAX).
+        # quadform gate: q <= logop <=> power <= 0 (the Inria in-ellipse
+        # gate). Slack 1e-2: the exact form is PSD so power == 0 AT the
+        # splat center — matmul noise (~1e-3) must not reject center
+        # pixels (the clamp above already bounds alpha at ALPHA_MAX).
         alpha = jnp.where(
-            (q <= logop[:, None] + 1e-2) & (alpha >= ALPHA_MIN) & in_range,
-            alpha, 0.0,
+            gate & (alpha >= ALPHA_MIN) & in_range, alpha, 0.0,
         )
 
         one_minus = 1.0 - alpha
