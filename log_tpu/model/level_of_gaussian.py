@@ -683,33 +683,6 @@ class LoG:
                 "depth": jnp.zeros((cap,), jnp.int32),
             }
             num_levels = 1
-        w_full = None
-        K = int(getattr(self, "check_render_every", 1))
-        if (
-            K > 1
-            and stage_has_tree
-            and self.cut_method == "flat_slice"
-        ):
-            from .train_step import fused_root_cull
-
-            if (
-                self._cull_mask_dev is None
-                or self._cull_bucket != cap_sort
-                or self._cull_frame_i % K == 0
-            ):
-                self._cull_mask_dev = fused_root_cull(
-                    self.gaussian.params(), tree_arrays, cam,
-                    jnp.int32(self.num_points),
-                    cam["image_height"], cam["image_width"],
-                    prep_backend=backend,
-                    prep_max_pairs=pick_max_pairs(self.capacity, per_point=1),
-                    check_scale=int(getattr(self, "check_render_scale", 1)),
-                    n_roots=self.n_roots_bucket,
-                    cap_sort=cap_sort,
-                )
-                self._cull_bucket = cap_sort
-            self._cull_frame_i += 1
-            w_full = self._cull_mask_dev
         use_blocks = (
             getattr(self, "_layout_optimized", False)
             and self._block_cache is not None
@@ -721,15 +694,42 @@ class LoG:
             # the plain fused frame
             and self.capacity >= (1 << 16)
         )
+        w_full = None
+        K = int(getattr(self, "check_render_every", 1))
+        if (
+            K > 1
+            and stage_has_tree
+            and self.cut_method == "flat_slice"
+        ):
+            from .train_step import fused_root_cull
+
+            # block path reshapes the mask (B, S): compute it at FULL
+            # capacity there (no per-frame pad op — eager ops cost an RTT
+            # through the tunnel)
+            cull_bucket = 0 if use_blocks else cap_sort
+            if (
+                self._cull_mask_dev is None
+                or self._cull_bucket != cull_bucket
+                or self._cull_frame_i % K == 0
+            ):
+                self._cull_mask_dev = fused_root_cull(
+                    self.gaussian.params(), tree_arrays, cam,
+                    jnp.int32(self.num_points),
+                    cam["image_height"], cam["image_width"],
+                    prep_backend=backend,
+                    prep_max_pairs=pick_max_pairs(self.capacity, per_point=1),
+                    check_scale=int(getattr(self, "check_render_scale", 1)),
+                    n_roots=self.n_roots_bucket,
+                    cap_sort=cull_bucket,
+                )
+                self._cull_bucket = cull_bucket
+            self._cull_frame_i += 1
+            w_full = self._cull_mask_dev
         if use_blocks:
             # block-pruned frame: per-frame cost scales with the eligible
             # working set (block_render.py). Per-frame weight cull is not
             # supported on this path — it needs check_render_every > 1
             # (w_full) or no cull; otherwise fall through.
-            if w_full is not None and w_full.shape[0] < self.capacity:
-                w_full = jnp.pad(
-                    w_full, (0, self.capacity - w_full.shape[0])
-                )
             from .block_render import render_blocks
 
             S = self._block_cache["S"]
