@@ -201,10 +201,15 @@ def main():
     )
 
     S_blk = block_size_for(cap)
-    blk_cols, blk_meta = build_block_cache(
-        params, tree_dev, is_leaf_opt, jnp.int32(n), S_blk
-    )
-    B_blk = cap // S_blk
+    try:
+        blk_cols, blk_meta = build_block_cache(
+            params, tree_dev, is_leaf_opt, jnp.int32(n), S_blk
+        )
+        B_blk = cap // S_blk
+    except Exception as e:  # pragma: no cover - defensive (driver bench)
+        print(f"# block cache build failed: {e!r}", file=sys.stderr)
+        blk_cols = blk_meta = None
+        B_blk = 0
 
     def measure_blocks(min_res, label, cull_every=4):
         """Production demo path (model.render_fused with
@@ -344,11 +349,22 @@ def main():
         except Exception:
             return {}
 
+    def try_blocks(min_res, label):
+        # the block path must never sink the whole bench on real-hardware
+        # quirks: fall back to the plain amortized-cull fused frame
+        if blk_cols is None:
+            return measure(min_res, label + "_fallback", cull_every=4)
+        try:
+            return measure_blocks(min_res, label)
+        except Exception as e:  # pragma: no cover
+            print(f"# block path failed: {e!r}", file=sys.stderr)
+            return measure(min_res, label + "_fallback", cull_every=4)
+
     head = measure(3.0, "reference_default_minres3")
-    head_amort = measure_blocks(3.0, "minres3_blocks_cull4")
+    head_amort = try_blocks(3.0, "minres3_blocks_cull4")
     mr_real = find_min_res_for_cut(300_000)
     realistic = measure(mr_real, f"realistic_live_set_minres{mr_real:g}")
-    real_amort = measure_blocks(
+    real_amort = try_blocks(
         mr_real, f"realistic_minres{mr_real:g}_blocks_cull4"
     )
 
