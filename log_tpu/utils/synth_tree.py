@@ -56,6 +56,27 @@ def build_scene_device(key: jax.Array, n_roots: int):
         ks[3], (n_roots, 1), minval=0.08, maxval=0.25
     ) * jax.random.uniform(ks[4], (n_roots, 3), minval=0.6, maxval=1.4)
 
+    # Morton-order the roots: block_render prunes CONTIGUOUS row ranges,
+    # so spatial locality must live in the row order (trained models get
+    # it from LoG.optimize_render_layout; children inherit it here via
+    # parent-ordered generation). Same point set, different row order.
+    qx = jnp.clip(
+        ((xyz_r[:, 0] + ext) / (2 * ext) * 1024).astype(jnp.int32), 0, 1023
+    )
+    qy = jnp.clip(
+        ((xyz_r[:, 1] + ext) / (2 * ext) * 1024).astype(jnp.int32), 0, 1023
+    )
+    mkey = jnp.zeros_like(qx)
+    for b in range(10):
+        mkey = (
+            mkey
+            | (((qx >> b) & 1) << (2 * b))
+            | (((qy >> b) & 1) << (2 * b + 1))
+        )
+    order = jnp.argsort(mkey)
+    xyz_r = xyz_r[order]
+    scal_r = scal_r[order]
+
     def children(xyz_p, scal_p, parent_rows, key, n_child=4):
         p_xyz = xyz_p[parent_rows]
         p_scal = scal_p[parent_rows]
