@@ -201,10 +201,14 @@ def block_eligibility(meta: dict, cam: dict, min_resolution_pixel,
         | jnp.all((pz < 0.0) & wpos, axis=1)
         | jnp.all((pz > pw) & wpos, axis=1)
     )
-    # min camera-space depth over corners; camera inside bbox -> z_min <= 0
+    # min camera-space depth over corners; camera inside bbox -> z_min <= 0.
+    # The parent-radius bound divides by the PARENT's z, and a row's parent
+    # sits up to ~its own sigma outside the block bbox (children are
+    # jittered inside the parent footprint) — shrink z by half the parent
+    # extent on top of the s3d inflation already in the corners.
     wv = cam["world_view"]
     tz = cx * wv[0, 2] + cy * wv[1, 2] + cz * wv[2, 2] + wv[3, 2]
-    z_min = jnp.min(tz, axis=1)
+    z_min = jnp.min(tz, axis=1) - 0.5 * meta["parent_s3d"]
     focal = jnp.maximum(cam["focal_x"], cam["focal_y"])
     proj_parent = jnp.where(
         z_min > 1e-6,
