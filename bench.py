@@ -360,7 +360,15 @@ def main():
             print(f"# block path failed: {e!r}", file=sys.stderr)
             return measure(min_res, label + "_fallback", cull_every=4)
 
-    head = measure(3.0, "reference_default_minres3")
+    import os as _os
+
+    try:
+        head = measure(3.0, "reference_default_minres3")
+    except Exception as e:  # pragma: no cover - Mosaic fallback
+        print(f"# quadform kernel failed, retrying VPU path: {e!r}",
+              file=sys.stderr)
+        _os.environ["LOG_TPU_QUADFORM"] = "0"
+        head = measure(3.0, "reference_default_minres3_novq")
     head_amort = try_blocks(3.0, "minres3_blocks_cull4")
     mr_real = find_min_res_for_cut(300_000)
     realistic = measure(mr_real, f"realistic_live_set_minres{mr_real:g}")

@@ -109,8 +109,13 @@ def _unpack2_bf16(u32row):
 #                chunk are about half the kernel's per-chunk cost)
 CUMPROD_IMPL = os.environ.get("LOG_TPU_CUMPROD", "matmul")
 # packed-kernel splat evaluation: MXU quadratic form (default) vs plain
-# VPU elementwise (LOG_TPU_QUADFORM=0 — fallback knob for Mosaic issues)
-_QUADFORM = os.environ.get("LOG_TPU_QUADFORM", "1") not in ("0", "false", "")
+# VPU elementwise (LOG_TPU_QUADFORM=0 — fallback knob for Mosaic issues).
+# Read at TRACE time so a failed compile can be retried with the flag off
+# in the same process (bench.py does this defensively).
+
+
+def _use_quadform() -> bool:
+    return os.environ.get("LOG_TPU_QUADFORM", "1") not in ("0", "false", "")
 
 
 def _is_tpu() -> bool:
@@ -1034,7 +1039,7 @@ def _fwd_kernel_packed(
         col_r, col_g = _unpack2_bf16(c3)
         col_b, _ = _unpack2_bf16(c4)
 
-        if _QUADFORM:
+        if _use_quadform():
             # q(X, Y) = power + log(op), expanded in tile-local pixel
             # coords: q = a0 + a1 X + a2 Y - 0.5 cxx X^2 - cxy XY
             #             - 0.5 cyy Y^2
