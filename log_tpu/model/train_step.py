@@ -789,7 +789,7 @@ def fused_prepare_render(
             cam["world_view"], cam["full_proj"], cam["focal_x"],
             cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
         )
-        use_cols = backend == "tiled" and "shs" not in need
+        use_cols = backend == "tiled"
         packed_compact = (
             pack_pairs if pack_pairs is not None else _use_packed_pairs()
         )
@@ -834,17 +834,31 @@ def fused_prepare_render(
             # radius inflated by 2^-7 before the bf16 round so rounding can
             # only GROW the tile rect (a shrunk rect could clip a tile row)
             rad_up = splat_full.radius * (1.0 + 2.0 ** -7)
+            col_r = sh_to_rgb(params["colors"][:, 0])
+            col_g = sh_to_rgb(params["colors"][:, 1])
+            col_b = sh_to_rgb(params["colors"][:, 2])
+            if sh_degree > 0 and "shs" in params:
+                # view-dependent SH color evaluated on the FULL capacity
+                # axis BEFORE compaction (directions are per-point; the
+                # pair pipeline then carries plain rgb like the sh=0 path;
+                # reference evaluates on the visible slice,
+                # LoG/model/level_of_gaussian.py:293-294 — same math)
+                dirs = params["xyz"] - cam["camera_center"][None]
+                dirs = dirs / jnp.maximum(
+                    jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+                )
+                sh_rgb = eval_sh(dirs, params["shs"], degree=sh_degree)
+                col_r = col_r + sh_rgb[:, 0]
+                col_g = col_g + sh_rgb[:, 1]
+                col_b = col_b + sh_rgb[:, 2]
             sort_cols = {
                 "px": splat_full.px,
                 "py": splat_full.py,
                 "depth": splat_full.depth,
                 "p1": _pack2_bf16(splat_full.cxx, splat_full.cxy),
                 "p2": _pack2_bf16(splat_full.cyy, splat_full.opacity),
-                "p3": _pack2_bf16(
-                    sh_to_rgb(params["colors"][:, 0]),
-                    sh_to_rgb(params["colors"][:, 1]),
-                ),
-                "p4": _pack2_bf16(sh_to_rgb(params["colors"][:, 2]), rad_up),
+                "p3": _pack2_bf16(col_r, col_g),
+                "p4": _pack2_bf16(col_b, rad_up),
             }
             per_frame_cull = check_cull and w_full is None
             if per_frame_cull:
@@ -917,7 +931,7 @@ def fused_prepare_render(
         counts = jnp.stack(
             [jnp.sum(keep & is_leaf_opt), jnp.sum(keep & ~is_leaf_opt)]
         )
-        if use_cols:
+        if use_cols and "shs" not in need:
             # column-native fast path: the compaction sort's outputs stay
             # 1-D columns through activation/projection/pair rows — the
             # (k, d) stacks they replace cost ~30 ms/frame at bench sizes

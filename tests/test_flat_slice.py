@@ -127,3 +127,46 @@ def test_w_full_cached_cull_matches_per_frame():
     np.testing.assert_allclose(
         np.asarray(alpha_wf), np.asarray(alpha_pf), atol=1e-2
     )
+
+
+def test_packed_path_with_sh_matches_unpacked():
+    """sh_degree > 0 on the packed flat_slice path (full-axis SH eval
+    before packing) must match the unpacked slices path."""
+    n_roots = 2000
+    _, _, n = tree_sizes(n_roots)
+    cap = next_capacity(n)
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(2), n_roots, cap
+    )
+    params = dict(params)
+    params["shs"] = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(7), params["shs"].shape
+    )
+    cam = make_cam(0.9)
+    common = dict(
+        n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
+        min_resolution_pixel=jnp.float32(3.0), current_depth=jnp.int32(20),
+        background=jnp.zeros(3, jnp.float32),
+        image_height=H, image_width=W, k_visible=next_capacity(n, 256),
+        sh_degree=1, stage_has_tree=True, num_levels=3,
+        backend="tiled", max_pairs=1 << 16, check_scale=4,
+        cut_method="flat_slice", n_roots=min(next_capacity(n_roots, 256), cap),
+        prep_backend="tiled", prep_max_pairs=1 << 15, check_cull=False,
+    )
+    img_p, _, counts_p = fused_prepare_render(
+        params, tree_dev, cam, pack_pairs=True, **common
+    )
+    img_u, _, counts_u = fused_prepare_render(
+        params, tree_dev, cam, pack_pairs=False, **common
+    )
+    assert int(np.asarray(counts_p)[:2].sum()) > 0
+    # bf16-packed conic/rgb vs full precision: ~1 LSB-grade noise
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_u), atol=2e-2
+    )
+    # SH must actually affect the image (nonzero coefficients)
+    img_nosh, _, _ = fused_prepare_render(
+        params, tree_dev, cam, pack_pairs=True,
+        **{**common, "sh_degree": 0},
+    )
+    assert float(np.abs(np.asarray(img_p) - np.asarray(img_nosh)).max()) > 0.01
