@@ -62,13 +62,16 @@ def demo(cfg, model, device=None):
     ):
         try:
             model.optimize_render_layout()
-            if getattr(model, "check_render_every", 1) == 1:
-                # block-pruned frames pair with the cached weight cull
-                # (VERDICT-sanctioned video-coherence reuse; the cull is a
-                # conservative 1e-8 occlusion test)
-                model.set_state(check_render_every=4)
         except AssertionError:
             pass  # training state attached: keep the unpruned path
+    # amortized weight cull is an EXPLICIT knob (default 1 = reference
+    # per-frame semantics, LoG/model/level_of_gaussian.py:238-241): set
+    # `check_render_every: K` on the demo split (or in its model_state) to
+    # refresh the occlusion cull every K frames — staleness contract in
+    # README "Inference performance knobs"
+    cre = cfg[cfg.split].get("check_render_every", None)
+    if cre is not None:
+        model.set_state(check_render_every=int(cre))
     render_type = cfg.get("render_type", "rgb")
     if render_type in ("depth", "height"):
         renderer.render_depth = True

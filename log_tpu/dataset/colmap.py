@@ -6,6 +6,15 @@ writes an INTER_AREA-downsampled copy at every pyramid scale into
 ``cache/<scale>/<imgname>``; camera infos are pickled. Training then streams
 the small cached images (the coarse-to-fine stages read scale 8/4/...). The
 whole layer is host-side (numpy/OpenCV) — device work starts at the renderer.
+
+Provenance note: this module is a deliberate BEHAVIORAL PORT of the
+reference's host-side OpenCV ingest (LoG/dataset/colmap.py:11-97 —
+``read_undistort_rescale_write`` / ``init_camera`` / ``check_undis_camera``
+track it closely). The on-disk cache layout, undistortion parameters, and
+camera-info pickle are the declared compatibility contract (SURVEY.md §7
+phase 3): a cache produced by the reference must be readable here and vice
+versa, so the structure is intentionally preserved rather than redesigned.
+Everything device-facing lives elsewhere.
 """
 from __future__ import annotations
 

@@ -211,7 +211,7 @@ def _expand_fwd_impl(vals, offs, length, interpret, total=None,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (N_IN_ROWS, CHUNK), lambda c, *_: (0, c)
         ),
@@ -268,7 +268,7 @@ def expand_packed_with_keys(packed, offs, total, length, tiles_x,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((N_IN_ROWS, CHUNK), lambda c, *_: (0, c)),
         scratch_shapes=[
             pltpu.VMEM((2, N_IN_ROWS, W), jnp.float32),

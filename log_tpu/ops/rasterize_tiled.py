@@ -275,7 +275,7 @@ def _pack_rows_impl(rows, interpret=False, n_out=N_ROWS):
     return pl.pallas_call(
         kernel,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=pl.BlockSpec((n_out, PACK_CHUNK), lambda c: (0, c)),
         out_shape=jax.ShapeDtypeStruct(
             (n_out, A + PACK_CHUNK), jnp.float32
@@ -292,6 +292,31 @@ def _pack_rows_impl(rows, interpret=False, n_out=N_ROWS):
 # --------------------------------------------------------------------------
 # gather-free binning
 # --------------------------------------------------------------------------
+def splat_extents(cn_xx, cn_xy, cn_yy, opacity, radius):
+    """Per-axis pixel extents (ext_x, ext_y) of a splat: the tight
+    axis-aligned bbox of the region where alpha can reach the kernel's
+    ALPHA_MIN gate, capped at the caller's scalar `radius`.
+
+    The conic is the inverse 2x2 covariance; the AA bbox of the Mahalanobis-D
+    ellipse has half-widths D*sqrt(cov_xx) = D*sqrt(cn_yy/det(conic)) and
+    D*sqrt(cov_yy). alpha = op*exp(-d^2/2) >= 1/255 requires
+    d <= sqrt(2 ln(255 op)); D caps at 3 (the 3-sigma convention the scalar
+    radius already enforces — see projection.tight_radius). +1 px margin
+    absorbs bf16 conic rounding on the packed paths (the kernel evaluates
+    the same rounded conic, so the rounded gate region stays inside the
+    margined bbox)."""
+    det_c = cn_xx * cn_yy - cn_xy * cn_xy
+    pos = det_c > 0.0
+    inv_det = 1.0 / jnp.where(pos, det_c, 1.0)
+    d_lim = jnp.sqrt(jnp.clip(2.0 * jnp.log(255.0 * opacity), 0.0, 9.0))
+    ext_x = d_lim * jnp.sqrt(jnp.maximum(cn_yy * inv_det, 0.0)) + 1.0
+    ext_y = d_lim * jnp.sqrt(jnp.maximum(cn_xx * inv_det, 0.0)) + 1.0
+    ext_x = jnp.minimum(jnp.where(pos, ext_x, radius), radius)
+    ext_y = jnp.minimum(jnp.where(pos, ext_y, radius), radius)
+    return ext_x, ext_y
+
+
+
 # above this run count the delta scatter-add serializes catastrophically on
 # TPU (~8 s at 2M indices) and the two-sort merge construction wins
 _EXPAND_SORT_THRESHOLD = 1 << 18
@@ -431,14 +456,20 @@ def expand_sort_pairs(splats, colors, image_height, image_width, max_pairs,
     radius = splats.radius
     valid = splats.valid & (radius > 0)
 
-    # tile rectangles (Inria getRect semantics)
-    x0 = jnp.clip(((px_x - radius) / TILE_W).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(((px_y - radius) / TILE_H).astype(jnp.int32), 0, tiles_y)
+    # tile rectangles from the PER-AXIS extents (tight AA bbox of the
+    # ellipse) instead of the circumscribed-circle square (Inria getRect,
+    # diff_gaussian_rasterization/cuda_rasterizer/forward.cu uses the 3-sigma
+    # circle) — every pixel passing the kernel's alpha >= 1/255 gate lies
+    # inside the bbox, and anisotropic splats bin to far fewer tiles, which
+    # is what the binning sorts scale with.
+    ext_x, ext_y = splat_extents(cn_xx, cn_xy, cn_yy, splats.opacity, radius)
+    x0 = jnp.clip(((px_x - ext_x) / TILE_W).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((px_y - ext_y) / TILE_H).astype(jnp.int32), 0, tiles_y)
     x1 = jnp.clip(
-        ((px_x + radius + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, tiles_x
+        ((px_x + ext_x + TILE_W - 1) / TILE_W).astype(jnp.int32), 0, tiles_x
     )
     y1 = jnp.clip(
-        ((px_y + radius + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, tiles_y
+        ((px_y + ext_y + TILE_H - 1) / TILE_H).astype(jnp.int32), 0, tiles_y
     )
     rect_w = jnp.maximum(x1 - x0, 0)
     n_tiles_g = jnp.where(valid, rect_w * jnp.maximum(y1 - y0, 0), 0)
@@ -912,9 +943,9 @@ def _run_forward(pair_data, tile_start, tile_count, background,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -923,7 +954,7 @@ def _run_forward(pair_data, tile_start, tile_count, background,
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, PAIR_CHUNK), jnp.float32),
@@ -1145,7 +1176,7 @@ def _run_forward_packed(pair_data, tile_start, tile_count, background,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -1387,16 +1418,16 @@ def _run_backward(pair_data, tile_start, tile_count, tfinal, dcolor, dalpha,
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
             pl.BlockSpec(
                 (3, TILE_H, TILE_W), lambda t, *_: (0, t // tiles_x, t % tiles_x)
             ),
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),),
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),),
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, PAIR_CHUNK), jnp.float32),
             pltpu.VMEM((N_ROWS, PAIR_CHUNK), jnp.float32),

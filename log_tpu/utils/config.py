@@ -40,6 +40,8 @@ class CfgNode(dict):
                     parent.merge_from_file(p)
                 parent.merge_from_other_cfg(node)
                 node = parent
+            if node.pop("_const_", False):
+                node.freeze()
             return node
         if isinstance(v, str) and v.startswith("_file_/"):
             node = CfgNode()
@@ -47,12 +49,29 @@ class CfgNode(dict):
             return node
         return v
 
+    def freeze(self):
+        """`_const_: True` marker (reference yacs.py:95-97): the node and
+        its children reject attribute-style assignment. Dict-style sets and
+        file merges stay allowed — exactly the reference's enforcement
+        surface (its _merge_a_into_b never consults the flag either)."""
+        object.__setattr__(self, "_frozen", True)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+
+    def is_frozen(self):
+        return getattr(self, "_frozen", False)
+
     def __getattr__(self, name):
         if name in self:
             return self[name]
         raise AttributeError(name)
 
     def __setattr__(self, name, value):
+        if self.is_frozen():
+            raise AttributeError(
+                f"CfgNode is immutable (_const_): cannot set {name!r}"
+            )
         self[name] = self._convert(value)
 
     def merge_from_file(self, cfg_filename: str):
@@ -117,6 +136,10 @@ def _to_plain(node):
 
 
 def _merge_a_into_b(a: CfgNode, b: CfgNode):
+    if a.pop("_no_merge_", False):
+        # reference yacs.py:431-435: `_no_merge_: True` replaces the target
+        # node wholesale instead of key-merging into it
+        b.clear()
     for k, v_a in a.items():
         if k in b and isinstance(v_a, dict) and isinstance(b[k], dict):
             _merge_a_into_b(CfgNode(dict(v_a)), b[k])

@@ -86,14 +86,20 @@ def main():
 
     # size k_vis exactly like bench.py
     _, _, counts = ts.fused_prepare_render(
-        params, tree_dev, pcam, k_visible=1 << 20, max_pairs=1 << 21,
-        **common,
+        params, tree_dev, pcam, k_visible=min(1 << 21, cap),
+        max_pairs=1 << 21, **common,
     )
     c = np.asarray(counts)
-    k_vis = next_capacity(int(c.sum() * 1.2), 1 << 15)
+    cut = int(c[:2].sum())
+    k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
     max_pairs = pick_max_pairs(k_vis, per_point=6)
-    print(f"n={n} cap={cap} cut={int(c.sum())} k_vis={k_vis} "
-          f"max_pairs={max_pairs}", flush=True)
+    if len(c) > 2 and c[2] > 0:
+        max_pairs = min(
+            max_pairs, pick_max_pairs(int(c[2] * 1.25), per_point=1)
+        )
+    print(f"n={n} cap={cap} cut={cut} k_vis={k_vis} "
+          f"max_pairs={max_pairs} pairs_demand={int(c[2]) if len(c) > 2 else -1}",
+          flush=True)
 
     def bench(name, fn, *args):
         out = fn(*args)

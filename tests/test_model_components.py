@@ -357,3 +357,107 @@ def test_flat_cut_matches_traverse(tmp_path):
             model.tree.cut_method = "flat"
     assert mismatch / total < 0.01, (mismatch, total)
     model._refresh_device_caches()
+
+
+def test_flat_cut_adversarial_nonmonotone():
+    """Adversarial check of the flat_cut claim (tensor_tree.py flat_cut
+    docstring): when a CHILD projects LARGER than its parent (elongated
+    child / grazing view — monotonicity broken), the one-gather cut may
+    overdraw but must satisfy, for ANY radius assignment:
+
+      (a) superset: every node traverse_cut keeps, flat_cut keeps;
+      (b) no hole: every alive leaf under a visible root has a kept
+          ancestor-or-self;
+      (c) bounded overdraw: every EXTRA kept node has a proper ancestor
+          that traverse_cut itself keeps (the extra node only re-covers
+          an already-rendered region).
+
+    Same properties for flat_cut_pre (the frustum-only superset cut used
+    by the flat_slice production path)."""
+    from log_tpu.model.tensor_tree import flat_cut, flat_cut_pre
+
+    rng = np.random.default_rng(11)
+    n_roots, n_splits = 6, 10
+    tree = build_random_tree(rng, n_roots=n_roots, n_splits=n_splits)
+    n = tree.num_points
+    index_parent = tree.index_parent.astype(np.int32)
+    node_index = tree.node_index.astype(np.int32)
+    depth = tree.depth.astype(np.int32)
+    # root id per point (walk up)
+    root_id = np.arange(n, dtype=np.int32)
+    for _ in range(int(depth.max()) + 1):
+        up = index_parent[root_id]
+        root_id = np.where(up >= 0, up, root_id).astype(np.int32)
+    alive = np.ones(n, bool)
+
+    def ancestors(i):
+        out = []
+        p = int(index_parent[i])
+        while p >= 0:
+            out.append(p)
+            p = int(index_parent[p])
+        return out
+
+    leaves = np.where(node_index == -1)[0]
+    n_cases = 0
+    for trial in range(24):
+        # ADVERSARIAL radii: uniform random per node — children larger
+        # than parents everywhere with probability ~1/2 (vs the physical
+        # case where child splats are smaller); plus exact-threshold ties
+        radius2d = rng.uniform(0.0, 10.0, n).astype(np.float32)
+        radius2d[rng.random(n) < 0.2] = 3.0  # threshold ties
+        root_visible = rng.random(n) < 0.8
+        radius2d_parent = np.where(
+            index_parent >= 0, radius2d[np.maximum(index_parent, 0)], 0.0
+        ).astype(np.float32)
+        for min_px in (3.0, 6.0):
+            for max_depth in (20, 2):
+                trav = np.asarray(
+                    traverse_cut(
+                        jnp.asarray(node_index), jnp.asarray(index_parent),
+                        jnp.asarray(depth), jnp.asarray(radius2d),
+                        jnp.asarray(root_visible), jnp.asarray(alive),
+                        jnp.float32(min_px), jnp.int32(max_depth),
+                        num_levels=int(depth.max()) + 1,
+                    )
+                )
+                flat = np.asarray(
+                    flat_cut(
+                        jnp.asarray(index_parent), jnp.asarray(node_index),
+                        jnp.asarray(depth), jnp.asarray(root_id),
+                        jnp.asarray(radius2d), jnp.asarray(radius2d_parent),
+                        jnp.asarray(root_visible), jnp.asarray(alive),
+                        jnp.float32(min_px), jnp.int32(max_depth),
+                    )
+                )
+                pre = np.asarray(
+                    flat_cut_pre(
+                        jnp.asarray(index_parent), jnp.asarray(node_index),
+                        jnp.asarray(depth),
+                        jnp.asarray(root_visible[np.maximum(root_id, 0)]),
+                        jnp.asarray(radius2d), jnp.asarray(radius2d_parent),
+                        jnp.asarray(alive),
+                        jnp.float32(min_px), jnp.int32(max_depth),
+                    )
+                )
+                # flat_cut and flat_cut_pre agree when the frustum flag
+                # equals full root visibility
+                np.testing.assert_array_equal(flat, pre)
+                # (a) superset
+                assert not np.any(trav & ~flat), (min_px, max_depth, trial)
+                # (b) no hole at any leaf
+                for lf in leaves:
+                    chain = [int(lf)] + ancestors(int(lf))
+                    if not root_visible[chain[-1]]:
+                        continue
+                    assert any(flat[c] for c in chain), (
+                        "hole at leaf", lf, min_px, max_depth, trial
+                    )
+                # (c) every extra node re-covers a traverse-kept region
+                extra = np.where(flat & ~trav)[0]
+                for e in extra:
+                    assert any(trav[a] for a in ancestors(int(e))), (
+                        "unbounded overdraw", e, min_px, max_depth, trial
+                    )
+                n_cases += 1 + len(extra)
+    assert n_cases > 50  # the adversarial radii actually produced overdraw

@@ -175,3 +175,21 @@ def test_campus_configs_parse(ref_tree, monkeypatch):
     assert cfg.model.args.densify_and_remove.upgrade_repeat == 5
     assert cfg.model.args.densify_and_remove.max_split_points == 100000
     assert cfg.train.render.module == "LoG.render.renderer.NaiveRendererAndLoss"
+
+
+def test_const_freeze_and_no_merge():
+    """yacs parity: `_const_: True` freezes a node against attribute-style
+    assignment (reference yacs.py:95-97, 138-141); `_no_merge_: True`
+    replaces the target node instead of key-merging (yacs.py:431-435)."""
+    from log_tpu.utils.config import CfgNode
+
+    n = CfgNode({"a": {"_const_": True, "x": 1}, "b": {"y": 2}})
+    assert n.a.x == 1 and "_const_" not in n.a
+    assert n.a.is_frozen() and not n.b.is_frozen()
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        n.a.x = 5
+    n.b.y = 3  # unfrozen nodes stay writable
+    n.merge_from_other_cfg(CfgNode({"b": {"_no_merge_": True, "z": 9}}))
+    assert dict(n.b) == {"z": 9}
