@@ -66,8 +66,12 @@ def main():
 
     _, _, n = tree_sizes(N_ROOTS)
     cap = next_capacity(n)
+    # root_major layout: root-contiguous tail segments make the per-frame
+    # weight-cull expansion gather-free (scatter-max + cummax, ~6 ms vs a
+    # ~33 ms capacity-axis take — scripts/probe_prims.py). Production
+    # models get the same layout from LoG.optimize_render_layout.
     params, tree_dev, is_leaf_opt = padded_model_device(
-        jax.random.PRNGKey(0), N_ROOTS, cap
+        jax.random.PRNGKey(0), N_ROOTS, cap, "root_major"
     )
     n_roots_bucket = min(next_capacity(N_ROOTS), cap)
     # alive bucket: capacity-axis sorts/passes sliced to [:cap_sort]
@@ -155,8 +159,18 @@ def main():
         cut = int(c[:2].sum())
         k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
         max_pairs = pick_max_pairs(int(max(c[2], 1) * 1.25), per_point=1)
+        # w_full-folded eligibility varies with occlusion across the orbit:
+        # size the block budget from several cameras, not just the first
         n_elig = int(c[3])
-        kb = min(B_blk, max(16, -(-int(n_elig * 1.2) // 16) * 16))
+        for ci in (8, 16, 24):
+            _, _, c2 = render_blocks(
+                blk_cols, blk_meta, pcams[ci], jnp.float32(min_res),
+                jnp.int32(20), jnp.zeros(3, jnp.float32), H, W,
+                k_blocks=B_blk, k_visible=min(1 << 21, cap),
+                max_pairs=1 << 21, w_full=root_cull(pcams[ci], full_cap=True),
+            )
+            n_elig = max(n_elig, int(np.asarray(c2)[3]))
+        kb = min(B_blk, max(16, -(-int(n_elig * 1.3) // 16) * 16))
 
         def frame(cam, w_full):
             img, _, cc = render_blocks(

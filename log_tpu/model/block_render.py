@@ -274,6 +274,12 @@ def render_blocks(
     W_rows = k_blocks * S
 
     eligible = block_eligibility(meta, cam, min_resolution_pixel)
+    if w_full is not None:
+        # occlusion-based block pruning: a block whose EVERY row's root was
+        # weight-culled (< 1e-8 max blend weight, fused_root_cull) cannot
+        # contribute — drop it before the working-set take. Conservative:
+        # keep on any surviving row.
+        eligible = eligible & jnp.any(w_full.reshape(B, S), axis=1)
     blk_ids, n_elig = select_blocks(eligible, k_blocks)
 
     g = jnp.take(cols, blk_ids, axis=1, mode="fill", fill_value=0.0)

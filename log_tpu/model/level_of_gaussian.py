@@ -75,6 +75,7 @@ class LoG:
         self._cull_bucket = None
         self._block_cache = None
         self._layout_optimized = False
+        self._cull_seg_starts = None
         self.current_depth = 0
         self.training = True
         self.stage_name = "init"
@@ -234,6 +235,13 @@ class LoG:
                     jnp.clip(self._tree_dev["root_id"], 0, cap - 1),
                     axis=0,
                 )
+                seg = getattr(self, "_cull_seg_starts", None)
+                if seg is not None:
+                    # static segment starts (root_major layout): rows past
+                    # the known roots scatter at num_points (dead rows)
+                    pad_seg = np.full(cap, self.num_points, np.int32)
+                    pad_seg[: seg.shape[0]] = seg
+                    self._tree_dev["cull_seg_starts"] = jnp.asarray(pad_seg)
                 if getattr(self, "_layout_optimized", False):
                     from .block_render import (
                         block_size_for, build_block_cache,
@@ -696,11 +704,12 @@ class LoG:
         )
         w_full = None
         K = int(getattr(self, "check_render_every", 1))
-        if (
-            K > 1
-            and stage_has_tree
-            and self.cut_method == "flat_slice"
-        ):
+        if stage_has_tree and self.cut_method == "flat_slice":
+            # cull-first, the reference op order (render_to_check BEFORE
+            # traverse, LoG/model/level_of_gaussian.py:229-243): K == 1
+            # refreshes the capacity-axis mask EVERY frame (per-frame
+            # semantics); K > 1 amortizes. The expansion is gather-free
+            # under the root_major layout (expand_weight_full).
             from .train_step import fused_root_cull
 
             # block path reshapes the mask (B, S): compute it at FULL
@@ -1311,13 +1320,23 @@ class LoG:
         return False
 
     # ------------------------------------------------- render layout / blocks
-    def optimize_render_layout(self, morton_bits: int = 10):
-        """Reorder rows DEPTH-MAJOR, MORTON-MINOR for block-prunable
-        rendering (block_render.py): coarse LoD cuts map to a level
-        prefix, camera frustums map to contiguous spatial cells, so the
-        per-block eligibility test actually prunes. Inference-only (call
-        after load_state_dict / before demo/val loops); training state
+    def optimize_render_layout(self, morton_bits: int = 10,
+                               mode: str = "root_major"):
+        """Reorder rows for fast inference. Inference-only (call after
+        load_state_dict / before demo/val loops); training state
         (optimizer moments) is not remapped.
+
+        mode="root_major" (default): ROOTS first (morton-ordered), then
+        every root's descendants as one CONTIGUOUS tail segment (in root
+        order, depth-minor). Root-contiguous segments make the per-frame
+        weight-cull's capacity-axis expansion gather-free (scatter-max +
+        cummax over static segment starts — train_step.expand_weight_full,
+        ~6 ms vs a ~33 ms w[root_id] take at 3.4M rows), and blocks stay
+        spatially tight for frustum/occlusion pruning.
+
+        mode="depth_major": rows DEPTH-MAJOR, MORTON-MINOR — coarse LoD
+        cuts map to a level prefix, so ShowLevel-style depth sweeps prune
+        whole blocks (block_render.py eligibility parent-radius test).
 
         The reference gets the same effect from its pointer-chasing tree
         traversal (LoG/model/tensor_tree.py:131-186); a flat TPU layout
@@ -1342,9 +1361,23 @@ class LoG:
         for b in range(morton_bits):
             for ax in range(3):
                 morton |= ((q[:, ax] >> b) & 1) << (3 * b + ax)
-        key = t.depth[:n].astype(np.int64) << (3 * morton_bits)
-        key |= morton
-        perm = np.argsort(key, kind="stable").astype(np.int64)
+        if mode == "root_major":
+            is_tail = (t.index_parent[:n] >= 0).astype(np.int64)
+            # rank roots by morton; every row inherits its root's rank
+            root_rows = np.flatnonzero(~is_tail.astype(bool))
+            rank_of_root_row = np.full(n, n, np.int64)
+            rank_of_root_row[root_rows[np.argsort(morton[root_rows],
+                                                  kind="stable")]] = (
+                np.arange(root_rows.size, dtype=np.int64)
+            )
+            rr = rank_of_root_row[t.root_id[:n]]
+            perm = np.lexsort(
+                (morton, t.depth[:n].astype(np.int64), rr, is_tail)
+            ).astype(np.int64)
+        else:
+            key = t.depth[:n].astype(np.int64) << (3 * morton_bits)
+            key |= morton
+            perm = np.argsort(key, kind="stable").astype(np.int64)
         inv = np.empty(n, np.int64)
         inv[perm] = np.arange(n, dtype=np.int64)
 
@@ -1369,6 +1402,20 @@ class LoG:
         t.root_id = remap_vals(t.root_id[perm])
         t.root_index = np.sort(remap_vals(t.root_index))
         t.tree = remap_vals(t.tree)
+        self._cull_seg_starts = None
+        if mode == "root_major":
+            # static tail-segment starts for the gather-free weight-cull
+            # expansion (train_step.expand_weight_full): segment of root
+            # rank j (== its row, roots are the prefix) begins at
+            # seg_starts[j]; empty segments point at the next start.
+            n_roots = int((t.index_parent[:n] == -1).sum())
+            tail_rids = t.root_id[n_roots:n].astype(np.int64)
+            assert (np.diff(tail_rids) >= 0).all(), "tail not root-grouped"
+            self._cull_seg_starts = (
+                n_roots
+                + np.searchsorted(tail_rids, np.arange(n_roots),
+                                  side="left")
+            ).astype(np.int32)
         self._tree_dev = None
         self._block_cache = None
         self._render_bucket = None
@@ -1377,7 +1424,7 @@ class LoG:
         self._refresh_device_caches()
         print(
             f"[{self.__class__.__name__}] render layout optimized: "
-            f"depth-major/morton over {n} rows"
+            f"{mode}/morton over {n} rows"
         )
 
     # --------------------------------------------------------- checkpoint
@@ -1448,6 +1495,9 @@ class LoG:
             self.optimizer.set_numpy(moments_np, self.capacity)
         if self.tree.num_nodes > 0:
             self.current_depth = int(self.tree.depth.max())
+        # freshly loaded state invalidates any previous layout optimization
+        self._layout_optimized = False
+        self._cull_seg_starts = None
         self._refresh_device_caches()
         return True
 

@@ -1233,9 +1233,36 @@ def fused_root_cull(
         cand, cam, image_height, image_width, mode, prep_backend,
         prep_max_pairs, check_scale,
     )
-    return jnp.take(
-        weight_ok, jnp.clip(tree_arrays["root_id"].astype(jnp.int32), 0, R - 1)
-    )
+    return expand_weight_full(weight_ok, tree_arrays, cap, R)
+
+
+def expand_weight_full(weight_ok, tree_arrays, cap: int, R: int):
+    """Expand the per-root weight-cull verdict (R,) to every row (cap,).
+
+    Default: one capacity-axis gather w[root_id] (~9.8 ms/M rows on v5e).
+    When the layout provides root-contiguous TAIL segments
+    (tree_arrays["cull_seg_starts"], see synth_tree.padded_model_device /
+    LoG.optimize_render_layout root_major), the expansion is gather-free:
+    scatter-max of rank-encoded codes at the R static segment starts +
+    one cummax segment broadcast (~6 ms at 3.4M rows — measured in
+    scripts/probe_prims.py). Duplicate starts (empty segments) resolve
+    correctly because scatter-max picks the LARGEST rank sharing a
+    position, which is exactly the owning (first non-empty) segment."""
+    seg = tree_arrays.get("cull_seg_starts")
+    if seg is None:
+        return jnp.take(
+            weight_ok,
+            jnp.clip(tree_arrays["root_id"].astype(jnp.int32), 0, R - 1),
+        )
+    ranks = jnp.arange(R, dtype=jnp.int32)
+    code = (ranks << 2) | (weight_ok.astype(jnp.int32) << 1) | 1
+    b = jnp.zeros(cap, jnp.int32).at[seg[:R]].max(code, mode="drop")
+    m = jax.lax.cummax(b)
+    w_tail = ((m >> 1) & 1).astype(jnp.bool_)
+    is_root_row = tree_arrays["index_parent"] == -1
+    w_prefix = jnp.pad(weight_ok, (0, cap - R)) if cap > R else weight_ok[:cap]
+    row_in_prefix = jnp.arange(cap) < R
+    return jnp.where(row_in_prefix & is_root_row, w_prefix, w_tail)
 
 
 @partial(

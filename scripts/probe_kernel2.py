@@ -1,0 +1,221 @@
+"""Time the packed forward kernel ALONE on prebuilt pair data at the bench
+shape, splitting the frame's trailing ~30 ms into kernel vs XLA glue.
+
+Usage: python scripts/probe_kernel2.py [n_roots] [min_res]
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_ROOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+MIN_RES = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
+H, W = 1088, 1920
+REPS = int(os.environ.get("REPS", "10"))
+
+
+def make_cam(theta, height=18.0, radius=22.0):
+    pos = np.array([radius * math.cos(theta), radius * math.sin(theta), height])
+    fwd = -pos / np.linalg.norm(pos)
+    right = np.cross(fwd, np.array([0, 0, 1.0]))
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd])
+    T = (-R @ pos).reshape(3, 1)
+    K = np.array([[1400.0, 0, W / 2], [0, 1400.0, H / 2], [0, 0, 1]])
+    return {"K": K, "R": R, "T": T, "H": H, "W": W, "center": pos.reshape(3, 1)}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from log_tpu.dataset.base import prepare_camera
+    from log_tpu.model.gaussian import next_capacity
+    from log_tpu.model.train_step import fused_prepare_render, fused_root_cull
+    from log_tpu.ops import pick_max_pairs
+    from log_tpu.ops.rasterize_tiled import (
+        P_N_ROWS, TILE_H, TILE_W, _run_forward_packed,
+    )
+    import log_tpu.ops.rasterize_tiled as rt
+    from log_tpu.render.renderer import camera_device
+    from log_tpu.utils.synth_tree import padded_model_device, tree_sizes
+
+    _, _, n = tree_sizes(N_ROOTS)
+    cap = next_capacity(n)
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(0), N_ROOTS, cap, "root_major"
+    )
+    n_roots_bucket = min(next_capacity(N_ROOTS), cap)
+    cap_sort = min(cap, -(-n // (1 << 18)) * (1 << 18))
+    pcams = [
+        camera_device(prepare_camera(make_cam(2 * math.pi * i / 32), 1, 0.01, 1000.0))
+        for i in range(4)
+    ]
+
+    def root_cull(cam):
+        return fused_root_cull(
+            params, tree_dev, cam, jnp.int32(n), H, W,
+            prep_backend="tiled", prep_max_pairs=1 << 19, check_scale=4,
+            n_roots=n_roots_bucket, cap_sort=cap_sort,
+        )
+
+    w0 = root_cull(pcams[0])
+    common = dict(
+        n_alive=jnp.int32(n), is_leaf_opt=is_leaf_opt,
+        min_resolution_pixel=jnp.float32(MIN_RES),
+        current_depth=jnp.int32(20),
+        background=jnp.zeros(3, jnp.float32),
+        image_height=H, image_width=W,
+        sh_degree=0, stage_has_tree=True, num_levels=3,
+        backend="tiled", check_scale=4,
+        cut_method="flat_slice", n_roots=n_roots_bucket,
+        prep_backend="tiled", prep_max_pairs=1 << 19,
+        cap_sort=cap_sort,
+    )
+    _, _, counts = fused_prepare_render(
+        params, tree_dev, pcams[0], k_visible=min(1 << 21, cap),
+        max_pairs=1 << 21, w_full=w0, **common,
+    )
+    c = np.asarray(counts)
+    cut = int(c[:2].sum())
+    k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
+    max_pairs = pick_max_pairs(k_vis, per_point=6)
+    if len(c) > 2 and c[2] > 0:
+        max_pairs = min(max_pairs, pick_max_pairs(int(c[2] * 1.25), per_point=1))
+    print(f"cut={cut} k_vis={k_vis} max_pairs={max_pairs} TILE_H={TILE_H}",
+          flush=True)
+
+    # ---- build pair_data once via the real pipeline internals ----
+    from log_tpu.model.train_step import sh_to_rgb
+    from log_tpu.model import train_step as ts
+    from log_tpu.model.tensor_tree import flat_cut_pre
+    from log_tpu.ops import gaussian_math as gm
+    from log_tpu.ops.projection import SplatCols, project_gaussians_cols
+    from log_tpu.ops.rasterize_tiled import (
+        _pack2_bf16, _pack_rows_impl, _unpack2_bf16, expand_sort_pairs,
+    )
+
+    p_s = {k: v[:cap_sort] for k, v in params.items()}
+    t_s = {
+        k: (v[:cap_sort] if hasattr(v, "ndim") and v.ndim >= 1 and v.shape[0] == cap else v)
+        for k, v in tree_dev.items()
+    }
+    n_al = jnp.int32(n)
+
+    @jax.jit
+    def build(p_s, t_s, cam, w_full):
+        alive = jnp.arange(cap_sort) < n_al
+        op_full = jax.nn.sigmoid(p_s["opacity"][:, 0])
+        splat_full, radius2d = project_gaussians_cols(
+            p_s["xyz"][:, 0], p_s["xyz"][:, 1], p_s["xyz"][:, 2],
+            jnp.exp(p_s["scaling"][:, 0]), jnp.exp(p_s["scaling"][:, 1]),
+            jnp.exp(p_s["scaling"][:, 2]),
+            p_s["rotation"][:, 0], p_s["rotation"][:, 1],
+            p_s["rotation"][:, 2], p_s["rotation"][:, 3],
+            op_full, cam["world_view"], cam["full_proj"],
+            cam["focal_x"], cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
+            H, W, mode="antialias", use_filter=False, active_mask=alive,
+            tight_radius=True, with_cut_radius=True,
+        )
+        rx = t_s["root_xyz"]
+        rpx, rpy, rpz, _ = gm.project_ndc_c(
+            rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
+        )
+        root_frus = gm.frustum_flag_c(rpx, rpy, rpz, padding=0.5) & alive
+        radius2d_parent = gm.compute_radius2d(
+            t_s["parent_xyz"], jnp.exp(t_s["parent_scaling"]),
+            t_s["parent_rotation"] / jnp.maximum(
+                jnp.linalg.norm(t_s["parent_rotation"], axis=-1, keepdims=True),
+                1e-12,
+            ),
+            cam["world_view"], cam["full_proj"], cam["focal_x"],
+            cam["focal_y"], cam["tan_fovx"], cam["tan_fovy"],
+        )
+        keep = flat_cut_pre(
+            t_s["index_parent"], t_s["node_index"], t_s["depth"],
+            root_frus, radius2d, radius2d_parent, alive,
+            jnp.float32(MIN_RES), jnp.int32(20),
+        ) & w_full
+        rad_up = splat_full.radius * (1.0 + 2.0 ** -7)
+        sort_cols = {
+            "px": splat_full.px, "py": splat_full.py,
+            "depth": splat_full.depth,
+            "p1": _pack2_bf16(splat_full.cxx, splat_full.cxy),
+            "p2": _pack2_bf16(splat_full.cyy, splat_full.opacity),
+            "p3": _pack2_bf16(sh_to_rgb(p_s["colors"][:, 0]),
+                              sh_to_rgb(p_s["colors"][:, 1])),
+            "p4": _pack2_bf16(sh_to_rgb(p_s["colors"][:, 2]), rad_up),
+        }
+        cols_s, index, lane_prefix = ts._compact_flat_cols_sort(
+            sort_cols, keep, k_vis
+        )
+        cxx_sl, cxy_sl = _unpack2_bf16(cols_s["p1"])
+        cyy_sl, op_sl = _unpack2_bf16(cols_s["p2"])
+        r_sl, g_sl = _unpack2_bf16(cols_s["p3"])
+        b_sl, rad_sl = _unpack2_bf16(cols_s["p4"])
+        valid = lane_prefix & (rad_sl > 0)
+        splat_cols = SplatCols(
+            px=cols_s["px"], py=cols_s["py"], cxx=cxx_sl, cxy=cxy_sl,
+            cyy=cyy_sl, opacity=jnp.where(valid, op_sl, 0.0),
+            depth=cols_s["depth"],
+            radius=jnp.where(valid, rad_sl, 0.0), valid=valid,
+        )
+        es = expand_sort_pairs(
+            splat_cols, (r_sl, g_sl, b_sl), H, W, max_pairs,
+            runs_tail_only=True, active_prefix=lane_prefix,
+            inference_pack=True,
+        )
+        tile_s = es["tile_s"]
+        arange_t1 = jnp.arange(es["num_tiles"] + 1, dtype=jnp.int32)
+        starts = jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
+        pair_data = _pack_rows_impl(es["packed6"], n_out=P_N_ROWS)
+        return pair_data, starts, es["tiles_x"], es["tiles_y"]
+
+    pd0, starts0, tx, ty = build(p_s, t_s, pcams[0], w0)
+    pd1, starts1, _, _ = build(p_s, t_s, pcams[1], w0)
+    pds = [(pd0, starts0), (pd1, starts1)]
+    bg = jnp.zeros(3, jnp.float32)
+
+    @jax.jit
+    def run_kernel(pair_data, starts):
+        color, tfinal = _run_forward_packed(
+            pair_data, starts[:-1], starts[1:] - starts[:-1], bg,
+            int(tx), int(ty), False,
+        )
+        return color
+
+    def timeit(name, fn, args_list):
+        out = fn(*args_list[0])
+        o = out.astype(jnp.float32).ravel()
+        float(jnp.sum(o * (1.0 + jnp.arange(o.size, dtype=jnp.float32) * 1e-7)))
+        t0 = time.perf_counter()
+        for i in range(REPS):
+            out = fn(*args_list[i % len(args_list)])
+        o = out.astype(jnp.float32).ravel()
+        float(jnp.sum(o * (1.0 + jnp.arange(o.size, dtype=jnp.float32) * 1e-7)))
+        dt = (time.perf_counter() - t0) / REPS * 1000
+        print(f"{name}: {dt:.2f} ms", flush=True)
+        return dt
+
+    timeit("forward kernel only", run_kernel, pds)
+
+    @jax.jit
+    def run_searchsorted(tile_s):
+        arange_t1 = jnp.arange(tx * ty + 1, dtype=jnp.int32)
+        return jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
+
+    # searchsorted cost (tile_s from a fresh build)
+    tile_s0 = jnp.cumsum(jnp.ones(max_pairs, jnp.int32)) % (tx * ty)
+    tile_s0 = jnp.sort(tile_s0)
+    timeit("searchsorted(starts)", run_searchsorted, [(tile_s0,), (tile_s0,)])
+
+
+if __name__ == "__main__":
+    main()

@@ -167,19 +167,44 @@ def test_optimize_render_layout_model_level(tmp_path):
     bg = np.zeros(3, np.float32)
     before = np.asarray(model.render_fused(cam, bg)["render"])
 
-    model.optimize_render_layout()
+    model.optimize_render_layout()  # default mode: root_major
     assert model._layout_optimized and model._block_cache is not None
     # tree invariants survive the permutation
     t = model.tree
     n = model.num_points
     depth = t.depth[:n]
-    assert (np.diff(depth) >= 0).all()  # depth-major layout
     is_root = t.index_parent[:n] == -1
-    assert is_root[: is_root.sum()].all()  # roots are a prefix
+    n_roots = int(is_root.sum())
+    assert is_root[:n_roots].all()  # roots are a prefix
     nonroot = ~is_root
     assert (depth[nonroot] == depth[t.index_parent[:n][nonroot]] + 1).all()
     rid = t.root_id[:n]
     assert (t.index_parent[:n][rid] == -1).all()  # root ids point at roots
+    # root_major: tail rows grouped contiguously per root, seg starts valid
+    tail_rids = rid[n_roots:]
+    assert (np.diff(tail_rids) >= 0).all()
+    seg = model._cull_seg_starts
+    assert seg is not None and seg.shape[0] == n_roots
+    for j in (0, n_roots // 2, n_roots - 1):
+        lo, hi = int(seg[j]), int(seg[j + 1]) if j + 1 < n_roots else n
+        assert (tail_rids[lo - n_roots:hi - n_roots] == j).all()
+    # the gather-free cull expansion must equal the w[root_id] take
+    import jax.numpy as jnp
+
+    from log_tpu.model.gaussian import next_capacity
+    from log_tpu.model.train_step import expand_weight_full
+
+    cap = model.capacity
+    R = min(next_capacity(n_roots), cap)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.random(R) > 0.5)
+    td = dict(model.tree_device())
+    td_take = dict(td)
+    td_take.pop("cull_seg_starts")
+    full_seg = np.asarray(expand_weight_full(w, td, cap, R))
+    full_take = np.asarray(expand_weight_full(w, td_take, cap, R))
+    alive = np.arange(cap) < n
+    np.testing.assert_array_equal(full_seg[alive], full_take[alive])
 
     model._render_bucket = None  # re-size buckets for the new path
     out = model.render_fused(cam, bg)
