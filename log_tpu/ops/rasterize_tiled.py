@@ -108,6 +108,59 @@ def _unpack2_bf16(u32row):
 #                log+exp transcendental passes: ~390k transcendentals per
 #                chunk are about half the kernel's per-chunk cost)
 CUMPROD_IMPL = os.environ.get("LOG_TPU_CUMPROD", "matmul")
+
+# ---------------------------------------------------------------------------
+# Fast base-2 transcendentals for the packed inference kernel. The packed
+# kernel is VPU-transcendental-bound (3 full (CHUNK, TILE_PIX) passes per
+# chunk: exp(q), log(1-a), exp(tri@log)); replacing the hardware exp/log with
+# single-pass ALU sequences (floor/bitcast exponent assembly + a minimax
+# polynomial) removes the multi-pass pole evaluations. Accuracy: exp2 deg-4
+# is 7.3e-6 max relative on f in [0,1); log2 deg-5 is 3.2e-5 max absolute on
+# m in [1,2) — both far below the ~0.4% bf16 conic rounding the packed
+# pipeline already carries. LOG_TPU_FASTEXP=0 restores jnp.exp/log.
+# ---------------------------------------------------------------------------
+_LOG2E = 1.4426950408889634
+_EXP2_C = (1.367653109e-02, 5.166687743e-02, 2.417102625e-01,
+           6.929312892e-01, 1.000007283e+00)
+_LOG2_C = (4.342890782e-02, -4.048671744e-01, 1.593901363e+00,
+           -3.492494280e+00, 5.046876045e+00, -2.786812954e+00)
+
+
+def _use_fastexp() -> bool:
+    return os.environ.get("LOG_TPU_FASTEXP", "1") not in ("0", "false", "")
+
+
+def _fexp2(x):
+    """2**x for x <= ~2 via exponent-bit assembly + deg-4 minimax poly.
+
+    Clamps to [-126, 2]: inputs below -126 (sanitized lanes, dead
+    transmittance) return a subnormal-or-zero that downstream ALPHA_MIN /
+    T_EPS masks treat as 0 anyway.
+    """
+    x = jnp.clip(x, -126.0, 2.0)
+    xi = jnp.floor(x)
+    f = x - xi
+    p = jnp.float32(_EXP2_C[0])
+    for c in _EXP2_C[1:]:
+        p = p * f + jnp.float32(c)
+    scale = jax.lax.bitcast_convert_type(
+        (xi.astype(jnp.int32) + 127) << 23, jnp.float32
+    )
+    return p * scale
+
+
+def _flog2(x):
+    """log2(x) for POSITIVE NORMAL x via exponent extraction + deg-5 poly
+    on the mantissa in [1, 2). Callers guarantee x in [1 - ALPHA_MAX, 1]."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    e = ((bits >> 23) & jnp.uint32(0xFF)).astype(jnp.int32) - 127
+    m = jax.lax.bitcast_convert_type(
+        (bits & jnp.uint32(0x007FFFFF)) | jnp.uint32(0x3F800000), jnp.float32
+    )
+    p = jnp.float32(_LOG2_C[0])
+    for c in _LOG2_C[1:]:
+        p = p * m + jnp.float32(c)
+    return e.astype(jnp.float32) + p
 # packed-kernel splat evaluation: MXU quadratic form (default) vs plain
 # VPU elementwise (LOG_TPU_QUADFORM=0 — fallback knob for Mosaic issues).
 # Read at TRACE time so a failed compile can be retried with the flag off
@@ -784,12 +837,20 @@ def _fwd_kernel(
 
         dx = d[ROW_PX, :][:, None] - pix_x
         dy = d[ROW_PY, :][:, None] - pix_y
+        fast = _use_fastexp()
+        # fast path evaluates the splat exponent base-2 (conic row vectors
+        # pre-scaled by log2 e — three 128-lane muls per chunk) so alpha
+        # comes from the single-pass _fexp2 instead of the multi-pass
+        # hardware exp; `power <= 0` gating is scale-invariant
+        s = jnp.float32(_LOG2E) if fast else jnp.float32(1.0)
         power = (
             -0.5
-            * (d[ROW_CXX, :][:, None] * dx * dx + d[ROW_CYY, :][:, None] * dy * dy)
-            - d[ROW_CXY, :][:, None] * dx * dy
+            * ((s * d[ROW_CXX, :])[:, None] * dx * dx
+               + (s * d[ROW_CYY, :])[:, None] * dy * dy)
+            - (s * d[ROW_CXY, :])[:, None] * dx * dy
         )
-        alpha = jnp.minimum(ALPHA_MAX, d[ROW_OPAC, :][:, None] * jnp.exp(power))
+        g_exp = _fexp2(power) if fast else jnp.exp(power)
+        alpha = jnp.minimum(ALPHA_MAX, d[ROW_OPAC, :][:, None] * g_exp)
         g_global = off0 + c * PAIR_CHUNK + g_iota
         in_range = (g_global >= start) & (g_global < start + count)
         alpha = jnp.where(
@@ -804,24 +865,24 @@ def _fwd_kernel(
             # mask is exact 0/1, log(1-a) in [-4.6, 0] carries ~0.4%
             # relative error -> transmittance error < ~1%, invisible at
             # 8-bit output; training keeps f32 for gradient fidelity.
-            log_om = jnp.log(one_minus)
+            if fast:
+                log_om = jnp.where(alpha > 0.0, _flog2(one_minus), 0.0)
+            else:
+                log_om = jnp.log(one_minus)
             if with_stats is False:
-                cp_excl = jnp.exp(
-                    jax.lax.dot_general(
-                        ltri_strict.astype(jnp.bfloat16),
-                        log_om.astype(jnp.bfloat16),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                acc = jax.lax.dot_general(
+                    ltri_strict.astype(jnp.bfloat16),
+                    log_om.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
             else:
-                cp_excl = jnp.exp(
-                    jax.lax.dot_general(
-                        ltri_strict, log_om,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                acc = jax.lax.dot_general(
+                    ltri_strict, log_om,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
+            cp_excl = _fexp2(acc) if fast else jnp.exp(acc)
         else:
             # doubling scan: log2(CHUNK) sublane-roll multiplies on the VPU
             row1 = jax.lax.broadcasted_iota(
@@ -1069,6 +1130,14 @@ def _fwd_kernel_packed(
         cyy, logop = _unpack2_bf16(c2)  # opacity rides as log(op)
         col_r, col_g = _unpack2_bf16(c3)
         col_b, _ = _unpack2_bf16(c4)
+        fast = _use_fastexp()
+        if fast:
+            # base-2 pipeline: fold log2(e) into the quadratic coefficients
+            # (and the gate threshold) so alpha = exp2(q2) with q2 = q*log2e
+            logop = logop * jnp.float32(_LOG2E)
+            cxx = cxx * jnp.float32(_LOG2E)
+            cxy = cxy * jnp.float32(_LOG2E)
+            cyy = cyy * jnp.float32(_LOG2E)
 
         if _use_quadform():
             # q(X, Y) = power + log(op), expanded in tile-local pixel
@@ -1097,8 +1166,12 @@ def _fwd_kernel_packed(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )  # (PAIR_CHUNK, TILE_PIX)
-            alpha = jnp.minimum(ALPHA_MAX, jnp.exp(q))
-            gate = q <= logop[:, None] + 1e-2
+            if fast:
+                alpha = jnp.minimum(ALPHA_MAX, _fexp2(q))
+                gate = q <= logop[:, None] + jnp.float32(1e-2 * _LOG2E)
+            else:
+                alpha = jnp.minimum(ALPHA_MAX, jnp.exp(q))
+                gate = q <= logop[:, None] + 1e-2
         else:
             # LOG_TPU_QUADFORM=0 fallback: plain VPU elementwise splat
             # evaluation (identical math, ~10 extra passes per chunk)
@@ -1108,9 +1181,12 @@ def _fwd_kernel_packed(
                 -0.5 * (cxx[:, None] * dx * dx + cyy[:, None] * dy * dy)
                 - cxy[:, None] * dx * dy
             )
-            alpha = jnp.minimum(
-                ALPHA_MAX, jnp.exp(power + logop[:, None])
-            )
+            if fast:  # conics pre-scaled by log2(e): power is base-2 already
+                alpha = jnp.minimum(ALPHA_MAX, _fexp2(power + logop[:, None]))
+            else:
+                alpha = jnp.minimum(
+                    ALPHA_MAX, jnp.exp(power + logop[:, None])
+                )
             gate = power <= 0.0
         g_global = off0 + c * PAIR_CHUNK + g_iota
         in_range = (g_global >= start) & (g_global < start + count)
@@ -1123,15 +1199,29 @@ def _fwd_kernel_packed(
         )
 
         one_minus = 1.0 - alpha
-        log_om = jnp.log(one_minus)
-        cp_excl = jnp.exp(
-            jax.lax.dot_general(
-                ltri_strict.astype(jnp.bfloat16),
-                log_om.astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+        if fast:
+            # exact 0 where alpha == 0 (most lanes): kills the poly's
+            # systematic ~3e-5 residual at m = 1 so empty lanes cannot
+            # drift the accumulated transmittance
+            log_om = jnp.where(alpha > 0.0, _flog2(one_minus), 0.0)
+            cp_excl = _fexp2(
+                jax.lax.dot_general(
+                    ltri_strict.astype(jnp.bfloat16),
+                    log_om.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             )
-        )
+        else:
+            log_om = jnp.log(one_minus)
+            cp_excl = jnp.exp(
+                jax.lax.dot_general(
+                    ltri_strict.astype(jnp.bfloat16),
+                    log_om.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
         cp_incl = cp_excl * one_minus
         t_after = trans * cp_incl
         w = trans * cp_excl * alpha
@@ -1310,12 +1400,20 @@ def _bwd_kernel(
 
         dx = d[ROW_PX, :][:, None] - pix_x
         dy = d[ROW_PY, :][:, None] - pix_y
+        fast = _use_fastexp()
+        # same base-2 fast path as the forward kernel; gradient formulas
+        # below stay in NATURAL power space (dl_dpower = dl_da * a_unc and
+        # the d_c**/d_p* chains use the RAW conic rows), which is exact:
+        # d(2^(x*log2e))/dx == 2^(x*log2e), independent of the base used
+        # to evaluate the exponential itself
+        s = jnp.float32(_LOG2E) if fast else jnp.float32(1.0)
         power = (
             -0.5
-            * (d[ROW_CXX, :][:, None] * dx * dx + d[ROW_CYY, :][:, None] * dy * dy)
-            - d[ROW_CXY, :][:, None] * dx * dy
+            * ((s * d[ROW_CXX, :])[:, None] * dx * dx
+               + (s * d[ROW_CYY, :])[:, None] * dy * dy)
+            - (s * d[ROW_CXY, :])[:, None] * dx * dy
         )
-        g_exp = jnp.exp(power)
+        g_exp = _fexp2(power) if fast else jnp.exp(power)
         a_unc = d[ROW_OPAC, :][:, None] * g_exp
         alpha = jnp.minimum(ALPHA_MAX, a_unc)
         g_global = off0 + c * PAIR_CHUNK + g_iota
@@ -1324,11 +1422,15 @@ def _bwd_kernel(
         alpha = jnp.where(cond, alpha, 0.0)
         one_minus = 1.0 - alpha
 
+        if fast:
+            log_om = jnp.where(alpha > 0.0, _flog2(one_minus), 0.0)
+        else:
+            log_om = jnp.log(one_minus)
         log_p = jax.lax.dot_general(
-            utri_incl, jnp.log(one_minus),
+            utri_incl, log_om,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        p_suffix = jnp.exp(log_p)
+        p_suffix = _fexp2(log_p) if fast else jnp.exp(log_p)
         t_i = t_run / p_suffix
         w = alpha * t_i
         t_after = t_i * one_minus

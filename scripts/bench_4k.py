@@ -1,0 +1,202 @@
+"""4K (3840x2160) fly-through datapoint on the block-pruned render path
+(BASELINE.json config 5 "city-scale 4K fly-through"; VERDICT r4 item 5).
+
+Runs the production demo frame (render_blocks + amortized capacity-axis
+weight cull) on the 3.24M-point synthetic tree at 4K over an orbit,
+measures FPS with the one-scalar-fetch protocol, and writes an mp4 (cv2
+fallback writer — ffmpeg is absent) plus first/mid JPEG artifacts.
+
+Pair budgets are sized from each config's measured unclamped demand and
+NEVER silently truncate — if demand exceeds the pick_max_pairs 8M safety
+rail the budget is raised on the 1.5x ladder past it (the rail guards
+sizing heuristics, not measured demand).
+
+TILE_H (pallas tile height) can be swept via LOG_TPU_TILE_H (default 8);
+taller tiles cut the per-column pair count at 4K where binning dominates.
+
+Usage: python scripts/bench_4k.py [n_roots] [frames]
+Prints one JSON line; artifacts under output/bench4k/.
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_ROOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+FRAMES = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+H, W = 2160, 3840
+OUTDIR = "output/bench4k"
+
+
+def make_cam(theta, height=18.0, radius=22.0):
+    pos = np.array([radius * math.cos(theta), radius * math.sin(theta), height])
+    fwd = -pos / np.linalg.norm(pos)
+    right = np.cross(fwd, np.array([0, 0, 1.0]))
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    R = np.stack([right, up, fwd])
+    # 2x focal vs the 1080p bench: same field of view at twice the pixels
+    K = np.array([[2800.0, 0, W / 2], [0, 2800.0, H / 2], [0, 0, 1]])
+    return {"K": K, "R": R, "T": (-R @ pos).reshape(3, 1), "H": H, "W": W,
+            "center": pos.reshape(3, 1)}
+
+
+def ladder(need: int) -> int:
+    """1.5x-step budget >= need (no 8M rail: `need` is measured demand)."""
+    cap = 1 << 16
+    while cap < need:
+        nxt = cap + cap // 2
+        cap = nxt if nxt >= need else cap * 2
+    return cap
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from log_tpu.dataset.base import prepare_camera
+    from log_tpu.model.block_render import (
+        block_size_for, build_block_cache, render_blocks,
+    )
+    from log_tpu.model.gaussian import next_capacity
+    from log_tpu.model.train_step import fused_root_cull
+    from log_tpu.render.renderer import BaseRender, camera_device
+    from log_tpu.utils.synth_tree import padded_model_device, tree_sizes
+
+    from log_tpu.ops.rasterize_tiled import TILE_H
+
+    out: dict = {
+        "metric": "fps_4k_3840x2160_blocks", "unit": "fps",
+        "tile_h": TILE_H, "n_roots": N_ROOTS,
+    }
+    _, _, n = tree_sizes(N_ROOTS)
+    cap = next_capacity(n)
+    out["n_points"] = int(n)
+    params, tree_dev, is_leaf_opt = padded_model_device(
+        jax.random.PRNGKey(0), N_ROOTS, cap, "root_major"
+    )
+    n_roots_bucket = min(next_capacity(N_ROOTS), cap)
+    pcams = [
+        camera_device(
+            prepare_camera(make_cam(2 * math.pi * i / (FRAMES + 2)), 1,
+                           0.01, 1000.0)
+        )
+        for i in range(FRAMES + 2)
+    ]
+
+    @jax.jit
+    def checksum(x):
+        return jnp.sum(x)
+
+    def root_cull(cam):
+        return fused_root_cull(
+            params, tree_dev, cam, jnp.int32(n), H, W,
+            prep_backend="tiled", prep_max_pairs=1 << 19, check_scale=4,
+            n_roots=n_roots_bucket, cap_sort=0,
+        )
+
+    S_blk = block_size_for(cap)
+    blk_cols, blk_meta = build_block_cache(
+        params, tree_dev, is_leaf_opt, jnp.int32(n), S_blk
+    )
+    B_blk = cap // S_blk
+
+    def measure(min_res, label, cull_every=4, save_video=False):
+        w0 = root_cull(pcams[0])
+        _, _, counts = render_blocks(
+            blk_cols, blk_meta, pcams[0], jnp.float32(min_res),
+            jnp.int32(20), jnp.zeros(3, jnp.float32), H, W,
+            k_blocks=B_blk, k_visible=min(1 << 21, cap),
+            max_pairs=1 << 22, w_full=w0,
+        )
+        c = np.asarray(counts)
+        cut = int(c[:2].sum())
+        k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
+        demand = int(max(c[2], 1))
+        n_elig = int(c[3])
+        for ci in {min(8, FRAMES), min(16, FRAMES)}:
+            _, _, c2 = render_blocks(
+                blk_cols, blk_meta, pcams[ci], jnp.float32(min_res),
+                jnp.int32(20), jnp.zeros(3, jnp.float32), H, W,
+                k_blocks=B_blk, k_visible=min(1 << 21, cap),
+                max_pairs=1 << 22, w_full=root_cull(pcams[ci]),
+            )
+            cc = np.asarray(c2)
+            demand = max(demand, int(cc[2]))
+            n_elig = max(n_elig, int(cc[3]))
+        max_pairs = ladder(int(demand * 1.3))
+        kb = min(B_blk, max(16, -(-int(n_elig * 1.3) // 16) * 16))
+
+        def frame(cam, w_full):
+            img, _, cc = render_blocks(
+                blk_cols, blk_meta, cam, jnp.float32(min_res),
+                jnp.int32(20), jnp.zeros(3, jnp.float32), H, W,
+                k_blocks=kb, k_visible=k_vis, max_pairs=max_pairs,
+                w_full=w_full,
+            )
+            return img, cc
+
+        float(checksum(frame(pcams[0], w0)[0]))
+        float(checksum(frame(pcams[1], w0)[0]))
+        demands = []
+        t0 = time.perf_counter()
+        w = w0
+        for i in range(FRAMES):
+            if i % cull_every == 0:
+                w = root_cull(pcams[2 + i])
+            img, cc2 = frame(pcams[2 + i], w)
+            demands.append(cc2)
+        float(checksum(img))
+        dt = (time.perf_counter() - t0) / FRAMES
+        m = {
+            "label": label, "fps": round(1.0 / dt, 3),
+            "ms_per_frame": round(dt * 1000, 2), "min_res_pixel": min_res,
+            "cut": cut, "k_vis": k_vis, "max_pairs": max_pairs,
+            "pairs_measured": int(max(int(np.asarray(d)[2]) for d in demands)),
+            "k_blocks": kb, "blocks_eligible": n_elig,
+            "blocks_total": B_blk, "cull_every": cull_every,
+        }
+        if save_video:
+            import cv2
+
+            os.makedirs(OUTDIR, exist_ok=True)
+            frames = []
+            w = w0
+            for i in range(FRAMES):
+                if i % cull_every == 0:
+                    w = root_cull(pcams[2 + i])
+                img, _ = frame(pcams[2 + i], w)
+                frames.append(BaseRender.tensor_to_bgr(np.asarray(img)))
+            vw = cv2.VideoWriter(
+                os.path.join(OUTDIR, f"flythrough_4k_{label}.mp4"),
+                cv2.VideoWriter_fourcc(*"mp4v"), 12, (W, H),
+            )
+            for i, fr in enumerate(frames):
+                vw.write(fr)
+                if i in (0, FRAMES // 2):
+                    cv2.imwrite(
+                        os.path.join(OUTDIR, f"frame_{label}_{i:03d}.jpg"),
+                        fr, [cv2.IMWRITE_JPEG_QUALITY, 88],
+                    )
+            vw.release()
+            m["video"] = os.path.join(OUTDIR, f"flythrough_4k_{label}.mp4")
+        return m
+
+    out["realistic_minres96"] = measure(96.0, "minres96", save_video=True)
+    out["dense_minres3"] = measure(3.0, "minres3")
+    out["value"] = out["realistic_minres96"]["fps"]
+    # north star is 30 FPS at 1080p; report the 4K number against the same
+    # bar for continuity with BENCH_r*.json
+    out["vs_baseline"] = round(out["value"] / 30.0, 4)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

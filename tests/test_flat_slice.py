@@ -65,18 +65,18 @@ def test_flat_slice_matches_flat():
     )
     # the pre-cut counts are a superset of the culled counts
     assert int(counts_sl[:2].sum()) >= int(counts_flat[:2].sum()) > 0
-    # atol 1e-2 (~2.6 LSB at 8 bit): the two paths compact different
+    # bulk atol 1e-2 (~2.6 LSB at 8 bit): the two paths compact different
     # lane sets (superset with holes vs exact), so equal-key pairs
     # tie-break differently under the unstable pair sort; the flat_slice
     # path additionally rounds conic/opacity/rgb/radius to bf16 before the
-    # compaction sort (packed payloads), so isolated rect-fringe pixels
-    # near the 1/255 alpha threshold flip inclusion
-    np.testing.assert_allclose(
-        np.asarray(img_sl), np.asarray(img_flat), atol=1e-2,
-    )
-    np.testing.assert_allclose(
-        np.asarray(alpha_sl), np.asarray(alpha_flat), atol=1e-2,
-    )
+    # compaction sort (packed payloads) and evaluates alpha with the
+    # fast-exp2 polynomial (~1e-5 relative), so ISOLATED rect-fringe
+    # pixels near the 1/255 alpha threshold flip inclusion — allow <=0.1%
+    # of pixels past the bulk tolerance, bounded at 5e-2
+    for got, want in ((img_sl, img_flat), (alpha_sl, alpha_flat)):
+        d = np.abs(np.asarray(got) - np.asarray(want))
+        assert float(d.max()) < 5e-2, d.max()
+        assert float((d > 1e-2).mean()) < 1e-3, (d > 1e-2).mean()
 
 
 def test_w_full_cached_cull_matches_per_frame():
