@@ -110,14 +110,17 @@ def _unpack2_bf16(u32row):
 CUMPROD_IMPL = os.environ.get("LOG_TPU_CUMPROD", "matmul")
 
 # ---------------------------------------------------------------------------
-# Fast base-2 transcendentals for the packed inference kernel. The packed
-# kernel is VPU-transcendental-bound (3 full (CHUNK, TILE_PIX) passes per
-# chunk: exp(q), log(1-a), exp(tri@log)); replacing the hardware exp/log with
-# single-pass ALU sequences (floor/bitcast exponent assembly + a minimax
-# polynomial) removes the multi-pass pole evaluations. Accuracy: exp2 deg-4
-# is 7.3e-6 max relative on f in [0,1); log2 deg-5 is 3.2e-5 max absolute on
-# m in [1,2) — both far below the ~0.4% bf16 conic rounding the packed
-# pipeline already carries. LOG_TPU_FASTEXP=0 restores jnp.exp/log.
+# Polynomial base-2 transcendentals (LOG_TPU_FASTEXP=1, experiment knob,
+# DEFAULT OFF). Hypothesis was that the compositing kernels were bound by
+# the 3 full (CHUNK, TILE_PIX) exp/log passes per chunk and single-pass ALU
+# sequences (floor/bitcast exponent assembly + minimax polynomial) would be
+# cheaper. MEASURED FALSE on v5e (scripts/probe_kernel2.py, 1.5M pairs,
+# 2026-08-19): packed forward kernel 28.3 ms with hardware exp/log vs
+# 33.4 ms with the polynomial path — the TPU's native transcendental
+# pipeline beats a ~10-op ALU replacement. Kept behind the flag because the
+# accuracy work transfers (exp2 deg-4: 7.3e-6 max relative on f in [0,1);
+# log2 deg-5: 3.2e-5 max absolute on m in [1,2) — both below the ~0.4% bf16
+# conic rounding) and the CPU interpret path exercises it in tests.
 # ---------------------------------------------------------------------------
 _LOG2E = 1.4426950408889634
 _EXP2_C = (1.367653109e-02, 5.166687743e-02, 2.417102625e-01,
@@ -127,7 +130,7 @@ _LOG2_C = (4.342890782e-02, -4.048671744e-01, 1.593901363e+00,
 
 
 def _use_fastexp() -> bool:
-    return os.environ.get("LOG_TPU_FASTEXP", "1") not in ("0", "false", "")
+    return os.environ.get("LOG_TPU_FASTEXP", "0") not in ("0", "false", "")
 
 
 def _fexp2(x):
@@ -838,18 +841,26 @@ def _fwd_kernel(
         dx = d[ROW_PX, :][:, None] - pix_x
         dy = d[ROW_PY, :][:, None] - pix_y
         fast = _use_fastexp()
-        # fast path evaluates the splat exponent base-2 (conic row vectors
-        # pre-scaled by log2 e — three 128-lane muls per chunk) so alpha
-        # comes from the single-pass _fexp2 instead of the multi-pass
-        # hardware exp; `power <= 0` gating is scale-invariant
-        s = jnp.float32(_LOG2E) if fast else jnp.float32(1.0)
-        power = (
-            -0.5
-            * ((s * d[ROW_CXX, :])[:, None] * dx * dx
-               + (s * d[ROW_CYY, :])[:, None] * dy * dy)
-            - (s * d[ROW_CXY, :])[:, None] * dx * dy
-        )
-        g_exp = _fexp2(power) if fast else jnp.exp(power)
+        if fast:
+            # experiment path (see _use_fastexp): exponent in base 2 via
+            # conic rows pre-scaled by log2 e; `power <= 0` gating is
+            # scale-invariant
+            s = jnp.float32(_LOG2E)
+            power = (
+                -0.5
+                * ((s * d[ROW_CXX, :])[:, None] * dx * dx
+                   + (s * d[ROW_CYY, :])[:, None] * dy * dy)
+                - (s * d[ROW_CXY, :])[:, None] * dx * dy
+            )
+            g_exp = _fexp2(power)
+        else:
+            power = (
+                -0.5
+                * (d[ROW_CXX, :][:, None] * dx * dx
+                   + d[ROW_CYY, :][:, None] * dy * dy)
+                - d[ROW_CXY, :][:, None] * dx * dy
+            )
+            g_exp = jnp.exp(power)
         alpha = jnp.minimum(ALPHA_MAX, d[ROW_OPAC, :][:, None] * g_exp)
         g_global = off0 + c * PAIR_CHUNK + g_iota
         in_range = (g_global >= start) & (g_global < start + count)
@@ -1401,19 +1412,28 @@ def _bwd_kernel(
         dx = d[ROW_PX, :][:, None] - pix_x
         dy = d[ROW_PY, :][:, None] - pix_y
         fast = _use_fastexp()
-        # same base-2 fast path as the forward kernel; gradient formulas
-        # below stay in NATURAL power space (dl_dpower = dl_da * a_unc and
-        # the d_c**/d_p* chains use the RAW conic rows), which is exact:
-        # d(2^(x*log2e))/dx == 2^(x*log2e), independent of the base used
-        # to evaluate the exponential itself
-        s = jnp.float32(_LOG2E) if fast else jnp.float32(1.0)
-        power = (
-            -0.5
-            * ((s * d[ROW_CXX, :])[:, None] * dx * dx
-               + (s * d[ROW_CYY, :])[:, None] * dy * dy)
-            - (s * d[ROW_CXY, :])[:, None] * dx * dy
-        )
-        g_exp = _fexp2(power) if fast else jnp.exp(power)
+        if fast:
+            # same base-2 experiment path as the forward kernel; gradient
+            # formulas below stay in NATURAL power space (dl_dpower =
+            # dl_da * a_unc and the d_c**/d_p* chains use the RAW conic
+            # rows), which is exact: d(2^(x*log2e))/dx == 2^(x*log2e),
+            # independent of the base used to evaluate the exponential
+            s = jnp.float32(_LOG2E)
+            power = (
+                -0.5
+                * ((s * d[ROW_CXX, :])[:, None] * dx * dx
+                   + (s * d[ROW_CYY, :])[:, None] * dy * dy)
+                - (s * d[ROW_CXY, :])[:, None] * dx * dy
+            )
+            g_exp = _fexp2(power)
+        else:
+            power = (
+                -0.5
+                * (d[ROW_CXX, :][:, None] * dx * dx
+                   + d[ROW_CYY, :][:, None] * dy * dy)
+                - d[ROW_CXY, :][:, None] * dx * dy
+            )
+            g_exp = jnp.exp(power)
         a_unc = d[ROW_OPAC, :][:, None] * g_exp
         alpha = jnp.minimum(ALPHA_MAX, a_unc)
         g_global = off0 + c * PAIR_CHUNK + g_iota

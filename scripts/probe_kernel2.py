@@ -180,6 +180,7 @@ def main():
 
     pd0, starts0, tx, ty = build(p_s, t_s, pcams[0], w0)
     pd1, starts1, _, _ = build(p_s, t_s, pcams[1], w0)
+    tx, ty = int(tx), int(ty)
     pds = [(pd0, starts0), (pd1, starts1)]
     bg = jnp.zeros(3, jnp.float32)
 

@@ -332,3 +332,21 @@ def test_packed_inference_matches_full_precision():
     assert np.abs(cp - cf).max() < 0.02, np.abs(cp - cf).max()
     assert np.abs(cp - cf).mean() < 2e-3
     assert np.abs(tp - tf).max() < 0.02
+
+
+def test_fast_transcendental_helpers():
+    """_fexp2/_flog2 (LOG_TPU_FASTEXP experiment path; default off after
+    the on-chip A/B showed hardware exp/log faster) stay within their
+    documented error bounds so the knob remains usable."""
+    from log_tpu.ops.rasterize_tiled import _fexp2, _flog2
+
+    x = jnp.asarray(np.linspace(-30.0, 0.9, 50001), jnp.float32)
+    ref = jnp.exp2(x)
+    rel = np.abs(np.asarray(_fexp2(x) / jnp.maximum(ref, 1e-30)) - 1.0)
+    assert rel.max() < 5e-5, rel.max()
+    y = jnp.asarray(np.linspace(0.01, 1.0, 50001), jnp.float32)
+    err = np.abs(np.asarray(_flog2(y) - jnp.log2(y)))
+    assert err.max() < 5e-4, err.max()
+    # clamp region: very negative inputs underflow toward 0, never nan/inf
+    z = np.asarray(_fexp2(jnp.asarray([-500.0, -126.0, -87.5], jnp.float32)))
+    assert np.all(np.isfinite(z)) and np.all(z >= 0) and np.all(z < 1e-26)
