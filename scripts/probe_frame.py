@@ -64,7 +64,7 @@ def main():
     _, _, n = tree_sizes(N_ROOTS)
     cap = next_capacity(n)
     params, tree_dev, is_leaf_opt = padded_model_device(
-        jax.random.PRNGKey(0), N_ROOTS, cap
+        jax.random.PRNGKey(0), N_ROOTS, cap, "root_major"
     )
     n_roots_bucket = min(next_capacity(N_ROOTS), cap)
     cap_sort = min(cap, -(-n // (1 << 18)) * (1 << 18))
