@@ -129,6 +129,14 @@ def main():
 
     @jax.jit
     def stage_full(cam):
+        # the REAL expansion: seg-broadcast when the layout provides
+        # cull_seg_starts (root_major), else the w[root_id] take
+        ok = stage_full_notake.__wrapped__(cam)
+        return ts.expand_weight_full(ok, t_s, cap_sort, R)
+
+    @jax.jit
+    def stage_full_take(cam):
+        # fallback-comparison: capacity-axis gather (level layout cost)
         ok = stage_full_notake.__wrapped__(cam)
         return jnp.take(
             ok, jnp.clip(t_s["root_id"].astype(jnp.int32), 0, R - 1)
@@ -138,7 +146,8 @@ def main():
     timeit_cams("  +activations", stage_act)
     timeit_cams("  +compact_sort", stage_compact)
     timeit_cams("  +check_raster (full cull, no take)", stage_full_notake)
-    timeit_cams("  +cap_take = full root_cull", stage_full)
+    timeit_cams("  +expand = full root_cull", stage_full)
+    timeit_cams("  +take-expand (level-layout comparison)", stage_full_take)
 
 
 if __name__ == "__main__":
