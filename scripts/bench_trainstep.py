@@ -132,6 +132,15 @@ def main():
         st = (p, m, c, co)
     float(metrics["loss"])
 
+    trace_dir = os.environ.get("TRACE_DIR")
+    if trace_dir:
+        # profile 4 steps; summarize with scripts/xplane_summary.py
+        with jax.profiler.trace(trace_dir):
+            for i in range(4):
+                p, m, c, co, metrics, aux = step(*st, cams[2 + i], 2 + i)
+                st = (p, m, c, co)
+            float(metrics["loss"])
+        print(f"trace written to {trace_dir}", flush=True)
     t0 = time.perf_counter()
     for i in range(STEPS):
         p, m, c, co, metrics, aux = step(*st, cams[2 + i], 2 + i)
