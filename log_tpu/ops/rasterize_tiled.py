@@ -137,8 +137,8 @@ def _fexp2(x):
     """2**x for x <= ~2 via exponent-bit assembly + deg-4 minimax poly.
 
     Clamps to [-126, 2]: inputs below -126 (sanitized lanes, dead
-    transmittance) return a subnormal-or-zero that downstream ALPHA_MIN /
-    T_EPS masks treat as 0 anyway.
+    transmittance) are clamped to ~1e-38 (2^-126 * p(f), a small normal),
+    which downstream ALPHA_MIN / T_EPS masks treat as 0.
     """
     x = jnp.clip(x, -126.0, 2.0)
     xi = jnp.floor(x)

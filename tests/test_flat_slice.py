@@ -69,13 +69,13 @@ def test_flat_slice_matches_flat():
     # lane sets (superset with holes vs exact), so equal-key pairs
     # tie-break differently under the unstable pair sort; the flat_slice
     # path additionally rounds conic/opacity/rgb/radius to bf16 before the
-    # compaction sort (packed payloads) and evaluates alpha with the
-    # fast-exp2 polynomial (~1e-5 relative), so ISOLATED rect-fringe
-    # pixels near the 1/255 alpha threshold flip inclusion — allow <=0.1%
-    # of pixels past the bulk tolerance, bounded at 5e-2
+    # compaction sort (packed payloads), so ISOLATED rect-fringe pixels
+    # near the 1/255 alpha threshold flip inclusion — allow <=0.1% of
+    # pixels past the bulk tolerance, bounded at 3e-2 (fast-exp2 is
+    # default-off and not exercised here)
     for got, want in ((img_sl, img_flat), (alpha_sl, alpha_flat)):
         d = np.abs(np.asarray(got) - np.asarray(want))
-        assert float(d.max()) < 5e-2, d.max()
+        assert float(d.max()) < 3e-2, d.max()
         assert float((d > 1e-2).mean()) < 1e-3, (d > 1e-2).mean()
 
 

@@ -31,12 +31,12 @@ MIN_RES = 2.0
 
 
 def assert_images_close(got, want, atol=2e-3):
-    """Bulk atol with <=0.1% isolated outliers bounded at 5e-2: the bf16
-    cumprod regroups products at different chunk boundaries per band, and
-    the fast-exp2 alpha (~1e-5 relative) can flip single pixels across the
-    1/255 inclusion threshold when a pair lands near it."""
+    """Bulk atol with <=0.1% isolated outliers bounded at 2e-2: the bf16
+    cumprod regroups products at different chunk boundaries per band, so a
+    pair landing near the 1/255 inclusion threshold can flip on single
+    pixels (fast-exp2 is default-off and not exercised here)."""
     d = np.abs(np.asarray(got) - np.asarray(want))
-    assert float(d.max()) < 5e-2, d.max()
+    assert float(d.max()) < 2e-2, d.max()
     assert float((d > atol).mean()) < 1e-3, (d > atol).mean()
 
 
