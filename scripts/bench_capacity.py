@@ -16,8 +16,13 @@ Measures, at n_roots=1.9M -> 10.26M total points (tree_sizes):
     50M/100M points, LoG/model/splitter.py:198-204 — at 10M it must NOT;
     the mechanism itself is equality-tested in tests/test_spill.py).
 
+Pair budgets are sized from measured demand; after the timed loop the
+max UNCLAMPED demand is checked against the budget and the run is
+re-timed on a raised 1.5x-ladder budget if any frame overflowed (so a
+truncated frame can never inflate the reported FPS).
+
 Usage: python scripts/bench_capacity.py [n_roots]      (default 1_900_000)
-Prints one JSON line; paste into BASELINE.md round-4 capacity table.
+Prints one JSON line; paste into BASELINE.md round-5 capacity table.
 """
 from __future__ import annotations
 
@@ -34,6 +39,15 @@ import numpy as np
 N_ROOTS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_900_000
 H, W = 1088, 1920
 FRAMES = 12
+
+
+def ladder(need: int) -> int:
+    """1.5x-step budget >= need (no 8M rail: `need` is measured demand)."""
+    cap = 1 << 16
+    while cap < need:
+        nxt = cap + cap // 2
+        cap = nxt if nxt >= need else cap * 2
+    return cap
 
 
 def make_cam(theta, height=18.0, radius=22.0):
@@ -148,23 +162,34 @@ def main():
             )
             return img, cc
 
-        float(checksum(frame(pcams[0], w0)[0]))
-        float(checksum(frame(pcams[1], w0)[0]))
-        demands = []
-        t0 = time.perf_counter()
-        w = w0
-        for i in range(FRAMES):
-            if i % cull_every == 0:
-                w = root_cull(pcams[2 + i])
-            img, cc2 = frame(pcams[2 + i], w)
-            demands.append(cc2)
-        float(checksum(img))
-        dt = (time.perf_counter() - t0) / FRAMES
+        # time; if any timed frame's UNCLAMPED demand exceeded the budget,
+        # pairs were silently dropped -> rebump on the 1.5x ladder, re-time
+        rebumped = False
+        for _attempt in range(3):
+            float(checksum(frame(pcams[0], w0)[0]))
+            float(checksum(frame(pcams[1], w0)[0]))
+            demands = []
+            t0 = time.perf_counter()
+            w = w0
+            for i in range(FRAMES):
+                if i % cull_every == 0:
+                    w = root_cull(pcams[2 + i])
+                img, cc2 = frame(pcams[2 + i], w)
+                demands.append(cc2)
+            float(checksum(img))
+            dt = (time.perf_counter() - t0) / FRAMES
+            pairs_measured = int(max(int(np.asarray(d)[2]) for d in demands))
+            if pairs_measured <= max_pairs:
+                break
+            max_pairs = ladder(int(pairs_measured * 1.15))
+            rebumped = True
         return {
             "label": label, "fps": round(1.0 / dt, 3),
             "ms_per_frame": round(dt * 1000, 2), "min_res_pixel": min_res,
             "cut": cut, "k_vis": k_vis, "max_pairs": max_pairs,
-            "pairs_measured": int(max(int(np.asarray(d)[2]) for d in demands)),
+            "pairs_measured": pairs_measured,
+            "budget_overflow": bool(pairs_measured > max_pairs),
+            "budget_rebumped": rebumped,
             "k_blocks": kb, "blocks_eligible": n_elig,
             "blocks_total": B_blk, "cull_every": cull_every,
         }
@@ -200,23 +225,32 @@ def main():
             )
             return img, cnt
 
-        float(checksum(frame(pcams[0], w0)[0]))
-        float(checksum(frame(pcams[1], w0)[0]))
-        t0 = time.perf_counter()
-        w = w0
-        demands = []
-        for i in range(FRAMES):
-            if i % cull_every == 0:
-                w = root_cull(pcams[2 + i], full_cap=False)
-            img, cnt = frame(pcams[2 + i], w)
-            demands.append(cnt)
-        float(checksum(img))
-        dt = (time.perf_counter() - t0) / FRAMES
+        rebumped = False
+        for _attempt in range(3):
+            float(checksum(frame(pcams[0], w0)[0]))
+            float(checksum(frame(pcams[1], w0)[0]))
+            t0 = time.perf_counter()
+            w = w0
+            demands = []
+            for i in range(FRAMES):
+                if i % cull_every == 0:
+                    w = root_cull(pcams[2 + i], full_cap=False)
+                img, cnt = frame(pcams[2 + i], w)
+                demands.append(cnt)
+            float(checksum(img))
+            dt = (time.perf_counter() - t0) / FRAMES
+            pairs_measured = int(max(int(np.asarray(d)[2]) for d in demands))
+            if pairs_measured <= max_pairs:
+                break
+            max_pairs = ladder(int(pairs_measured * 1.15))
+            rebumped = True
         return {
             "label": label, "fps": round(1.0 / dt, 3),
             "ms_per_frame": round(dt * 1000, 2), "min_res_pixel": min_res,
             "cut": cut, "k_vis": k_vis, "max_pairs": max_pairs,
-            "pairs_measured": int(max(int(np.asarray(d)[2]) for d in demands)),
+            "pairs_measured": pairs_measured,
+            "budget_overflow": bool(pairs_measured > max_pairs),
+            "budget_rebumped": rebumped,
             "cull_every": cull_every,
         }
 
