@@ -289,10 +289,17 @@ def _shard_render(params_l, tree_l, cam, n_alive, min_res, current_depth,
         packed["pair_data"], packed["tile_start"], packed["tile_count"],
         background, cfg.tiles_x, cfg.band_ty, False, interpret,
     )
-    stats = jnp.stack([
-        jax.lax.psum(count_local, AXIS),
-        jax.lax.psum(jnp.sum(lens), AXIS),
-        jax.lax.pmax(overflow, AXIS),
+    # stats[3:] is the full (n_src, n_dst) exchange-length matrix flattened
+    # row-major — the measured per-band exchange volume (multiply by the
+    # per-pair wire size to get bytes; ARCHITECTURE.md multi-chip table)
+    lens_all = jax.lax.all_gather(lens, AXIS).reshape(-1)
+    stats = jnp.concatenate([
+        jnp.stack([
+            jax.lax.psum(count_local, AXIS),
+            jax.lax.psum(jnp.sum(lens), AXIS),
+            jax.lax.pmax(overflow, AXIS),
+        ]),
+        lens_all,
     ])
     return color, 1.0 - tfinal, stats
 
@@ -306,8 +313,10 @@ def sharded_render_frame(
 
     params/tree_arrays: capacity-padded dicts (capacity divisible by
     cfg.n_devices); cam: camera_device dict (replicated). Returns
-    (render (3, H, W), alpha (H, W), stats (3,) [cut total, pairs
-    exchanged, max bucket overflow]).
+    (render (3, H, W), alpha (H, W), stats (3 + n^2,) [cut total, pairs
+    exchanged, max bucket overflow, then the (n_src, n_dst)
+    exchange-length matrix flattened row-major — pairs each shard hands
+    each band owner, the measured ICI exchange volume]).
     """
     if interpret is None:
         interpret = _interpret_default()

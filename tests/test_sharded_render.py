@@ -103,6 +103,11 @@ def test_sharded_matches_single_chip(scene):
     assert stats[2] == 0, f"bucket overflow {stats}"
     # same cut
     assert stats[0] == int(np.asarray(counts)[:2].sum())
+    # stats[3:] is the (n_src, n_dst) exchange-length matrix; its total is
+    # exactly the exchanged-pairs count
+    lens = stats[3:].reshape(8, 8)
+    assert lens.sum() == stats[1]
+    assert (lens >= 0).all() and (lens <= cfg.bucket_pairs).all()
     # tolerance: the inference kernel's bf16 cumprod regroups products at
     # different chunk boundaries per band -> ~1e-3 worst-case pixel delta
     assert_images_close(img, ref_img)
