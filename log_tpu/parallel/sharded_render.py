@@ -16,18 +16,33 @@ explicit shard_map collectives:
      rows to a k_local slice; activation and EWA projection are elementwise.
   3. **local expansion + sort** — the same gather-free pair construction as
      the single-chip path (ops/rasterize_tiled.expand_sort_pairs) on the
-     local slice: Pallas one-hot expand + ONE sort by (tile, depth, gid).
-     Because tile ids are row-major, image bands are CONTIGUOUS ranges of
-     the sorted pair table.
+     local slice: Pallas one-hot expand + ONE sort by (tile, depth, gid),
+     then a second sort by the INTERLEAVED band key (below).
   4. **band exchange** — an (n, bucket) all_to_all hands every band owner
      its pairs from all shards (fixed-capacity buckets sliced at
      searchsorted band boundaries; overflow truncates and is reported).
+     Band ownership is ROUND-ROBIN over tile rows (owner = tile_row mod n),
+     not contiguous blocks: real frames concentrate pairs in the middle of
+     the screen, and contiguous bands overflowed fixed buckets ~4x at bench
+     scale (scripts/check_sharded_fullscale.py, round 5) while interleaved
+     rows spread every screen region 1/n to each owner.
   5. **band merge + kernel** — the owner re-sorts its ~A/n received pairs
      by (tile, depth, gid) (a merge of n sorted runs, done as one sort —
      TPU sort IS the merge primitive), packs, and runs the unmodified
-     forward kernel over its band's tiles with pixel rows rebased.
+     forward kernel over its band's tiles; pixel rows are rebased PER PAIR
+     (each pair renders exactly one tile, so a per-pair constant shift to
+     that tile's local coordinates is exact).
   6. **image assembly** — bands concatenate along the row axis via the
-     shard_map output spec (an all_gather of 3*H*W/n floats each).
+     shard_map output spec (an all_gather of 3*H*W/n floats each), then one
+     cheap on-device de-interleave restores global row order.
+
+Point-shard layout: `cfg.layout="strided"` expects capacity rows permuted
+round-robin (`interleave_shard_rows`) so each shard holds a spatially
+uniform point sample — spatially-contiguous (root_major / Morton) rows
+give some shards the whole visible set (one shard saturated its ENTIRE
+local pair budget at bench scale) and others none. The executor applies
+the permutation once at upload; it is a bijection on rows, and every
+per-point stage is elementwise (flat_cut_pre reads only per-point caches).
 
 Every stage's cost is ~1/n of the single-chip frame; the only cross-device
 traffic is the pair exchange (~A * 13 rows * 4 B spread over the mesh) and
@@ -98,6 +113,9 @@ class ShardedRenderConfig:
     sh_degree: int = 0
     mode: str = "antialias"
     min_res_pixel: float = 3.0
+    layout: str = "contiguous"  # capacity-row layout: "contiguous" |
+    #   "strided" (rows pre-permuted by interleave_shard_rows; shard s
+    #   local row j holds global row j*n + s, so alive = j*n + s < n_alive)
 
     @property
     def tiles_x(self) -> int:
@@ -126,11 +144,26 @@ class ShardedRenderConfig:
         return self.bucket_pairs * self.n_devices
 
 
-def _local_cut(params_l, tree_l, cam, n_alive, row_offset, min_res,
+def interleave_shard_rows(arrays: dict, n: int) -> dict:
+    """Permute capacity rows for cfg.layout="strided": shard s's local row
+    j holds global row j*n + s, so every 1/n shard is a round-robin
+    (spatially uniform) sample of the point set. One-time relayout applied
+    by the caller/executor at upload; bijective on rows, safe for every
+    per-point stage (the flat cut reads only per-point caches)."""
+    out = {}
+    for k, v in arrays.items():
+        cap = v.shape[0]
+        assert cap % n == 0, (k, cap, n)
+        capl = cap // n
+        idx = jnp.arange(cap)
+        perm = (idx % capl) * n + idx // capl
+        out[k] = v[perm]
+    return out
+
+
+def _local_cut(params_l, tree_l, cam, n_alive, alive, min_res,
                current_depth):
     """flat_cut_pre over the local shard — all inputs per-point, zero comms."""
-    capl = params_l["xyz"].shape[0]
-    alive = (jnp.arange(capl) + row_offset) < n_alive
     rx = tree_l["root_xyz"]
     rpx, rpy, rpz, _ = gm.project_ndc_c(
         rx[..., 0], rx[..., 1], rx[..., 2], cam["full_proj"]
@@ -166,11 +199,16 @@ def _shard_render(params_l, tree_l, cam, n_alive, min_res, current_depth,
     n = cfg.n_devices
     dev = jax.lax.axis_index(AXIS)
     capl = params_l["xyz"].shape[0]
-    row_offset = dev * capl
+    if cfg.layout == "strided":
+        # rows pre-permuted by interleave_shard_rows: local j <- global j*n+s
+        global_row = jnp.arange(capl) * n + dev
+    else:
+        global_row = jnp.arange(capl) + dev * capl
+    alive = global_row < n_alive
 
     # ---- 1+2: local cut, compact, activate, project ---------------------
     keep = _local_cut(
-        params_l, tree_l, cam, n_alive, row_offset, min_res, current_depth
+        params_l, tree_l, cam, n_alive, alive, min_res, current_depth
     )
     count_local = jnp.sum(keep)
     need = ["xyz", "colors", "scaling", "opacity", "rotation"]
@@ -234,6 +272,20 @@ def _shard_render(params_l, tree_l, cam, n_alive, min_res, current_depth,
     num_tiles = es["num_tiles"]
     band_tiles = cfg.band_tiles
 
+    # ---- 3b: remap to the INTERLEAVED band key and re-sort ---------------
+    # owner(tile) = tile_row mod n; owner d's local tile grid is row-major
+    # over (band_ty, tiles_x) with local row j = tile_row // n. The remap
+    # rk = owner * band_tiles + local_tile is a bijection on tile ids, so
+    # bands are again contiguous runs of the re-sorted table and the
+    # per-tile ordering contract (depth, gid) is untouched.
+    trow = tile_s // cfg.tiles_x
+    tcol = tile_s - trow * cfg.tiles_x
+    rk = (trow % n) * band_tiles + (trow // n) * cfg.tiles_x + tcol
+    rk = jnp.where(tile_s >= num_tiles, num_tiles, rk)
+    tile_s, gid_s, values_s, _perm_rk = sort_pairs(
+        rk, values_s[ROW_DEPTH], gid_s, tuple(values_s), num_tiles
+    )
+
     # ---- 4: fixed-bucket band exchange ----------------------------------
     Bcap = cfg.bucket_pairs
     bounds = (jnp.arange(n + 1, dtype=jnp.int32) * band_tiles)
@@ -274,9 +326,14 @@ def _shard_render(params_l, tree_l, cam, n_alive, min_res, current_depth,
     in_band = (tl >= 0) & (tl < band_tiles)
     tl = jnp.where(in_band, tl, band_tiles)
     dkey = jnp.where(in_band, vals_r[ROW_DEPTH], jnp.inf)
-    # pixel rows are global; the band kernel renders rows [y0, y0 + Hb)
-    y0 = (dev * cfg.band_ty * TILE_H).astype(jnp.float32)
-    vals_r[ROW_PY] = vals_r[ROW_PY] - y0
+    # pixel rows are global; owner dev's local tile row j is global tile
+    # row j*n + dev, so shift each pair's splat-center y into the band's
+    # local frame. Exact: a pair renders exactly one tile, and within that
+    # tile local y = global y - (j*(n-1) + dev)*TILE_H for every pixel.
+    jrow = (tl // cfg.tiles_x).astype(jnp.float32)
+    vals_r[ROW_PY] = vals_r[ROW_PY] - (
+        jrow * (n - 1) + dev
+    ) * float(TILE_H)
 
     tile_s2, gid_s2, values_s2, _perm = sort_pairs(
         tl, dkey, gid_r, tuple(vals_r), band_tiles
@@ -342,5 +399,13 @@ def sharded_render_frame(
         jnp.asarray(current_depth, jnp.int32),
         jnp.asarray(background, jnp.float32),
     )
+    # de-interleave: owner d's band rows are global tile rows d, d+n, ...
+    # assembled d-major; restore (j, d) order
+    n, bty = cfg.n_devices, cfg.band_ty
+    Wk = color.shape[-1]
+    color = color.reshape(3, n, bty, TILE_H, Wk).transpose(0, 2, 1, 3, 4)
+    color = color.reshape(3, cfg.height_pad, Wk)
+    alpha = alpha.reshape(n, bty, TILE_H, Wk).transpose(1, 0, 2, 3)
+    alpha = alpha.reshape(cfg.height_pad, Wk)
     H, W = cfg.image_height, cfg.image_width
     return color[:, :H, :W], alpha[:H, :W], stats

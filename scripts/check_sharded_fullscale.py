@@ -91,6 +91,13 @@ def main():
     params, tree_dev, is_leaf_opt = padded_model_device(
         jax.random.PRNGKey(0), N_ROOTS, cap, "root_major"
     )
+    # production executor layout: round-robin rows so every shard holds a
+    # spatially uniform sample (root_major/contiguous saturated one shard's
+    # whole pair budget and overflowed dst buckets 4x — round-5 finding)
+    from log_tpu.parallel.sharded_render import interleave_shard_rows
+
+    params = interleave_shard_rows(params, N_DEV)
+    tree_dev = interleave_shard_rows(tree_dev, N_DEV)
     jax.block_until_ready(params["xyz"])
     print(f"# scene built in {time.perf_counter() - t0:.0f}s",
           file=sys.stderr, flush=True)
@@ -108,11 +115,15 @@ def main():
     # budget 2.1M), with 2x headroom for shard imbalance
     k_local = next_capacity(393_216 * 2 // N_DEV, 1 << 12)
     max_pairs_local = 1 << 19              # 512k pairs/shard (8x4.2M total)
-    bucket_pairs = 1 << 16                 # 64k per (src, dst) lane
+    # measured lens_max on this orbit is ~66k with the strided layout +
+    # interleaved bands (was 253k with contiguous bands); 72k rides the
+    # same demand-sized ladder as every other pair budget
+    bucket_pairs = 73728                   # per (src, dst) lane
     cfg = ShardedRenderConfig(
         image_height=H, image_width=W, n_devices=N_DEV,
         k_local=k_local, max_pairs_local=max_pairs_local,
         bucket_pairs=bucket_pairs, sh_degree=0, min_res_pixel=MIN_RES,
+        layout="strided",
     )
     out: dict = {
         "metric": "sharded_fullscale_virtual8", "unit": "report",

@@ -19,6 +19,7 @@ from log_tpu.model.gaussian import next_capacity
 from log_tpu.model.train_step import fused_prepare_render
 from log_tpu.parallel.sharded_render import (
     ShardedRenderConfig,
+    interleave_shard_rows,
     sharded_render_frame,
 )
 from log_tpu.dataset.base import prepare_camera
@@ -114,18 +115,23 @@ def test_sharded_matches_single_chip(scene):
     assert_images_close(alpha, ref_alpha)
 
 
-def test_sharded_second_camera(scene):
-    """Different viewpoint (different band loads) still matches."""
+def test_sharded_second_camera_strided_layout(scene):
+    """Different viewpoint AND the strided (round-robin) point layout the
+    executor uses in production still match the single-chip frame. The
+    row permutation is a bijection, so the cut/pairs/image are identical;
+    only the per-shard load balance changes."""
     params, tree_dev, is_leaf_opt, n, cap = scene
     cam = make_cam(theta=2.4, height=10.0, radius=28.0)
     ref_img, _, _ = single_chip(scene, cam)
     cfg = ShardedRenderConfig(
         image_height=H, image_width=W, n_devices=8,
         k_local=cap // 8, max_pairs_local=1 << 14, bucket_pairs=1 << 12,
-        sh_degree=0, min_res_pixel=MIN_RES,
+        sh_degree=0, min_res_pixel=MIN_RES, layout="strided",
     )
+    params_s = interleave_shard_rows(params, 8)
+    tree_s = interleave_shard_rows(tree_dev, 8)
     img, _, stats = sharded_render_frame(
-        params, tree_dev, cam, n, MIN_RES, 20, jnp.zeros(3), cfg
+        params_s, tree_s, cam, n, MIN_RES, 20, jnp.zeros(3), cfg
     )
     assert np.asarray(stats)[2] == 0
     assert_images_close(img, ref_img)
