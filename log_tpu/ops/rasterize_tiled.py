@@ -791,6 +791,7 @@ def _fwd_kernel(
     pid_ref,  # argmax PAIR slot (-1 empty)
     pwp_ref,
     pair_w_hbm,  # (8, A + 128): row 0 = per-pair max blend weight
+    cend_ref,  # (1, 1) i32: chunks processed before saturation early-exit
     # scratch
     buf,  # (2, 16, PAIR_CHUNK)
     wbuf,  # (8, PAIR_CHUNK)
@@ -1005,6 +1006,14 @@ def _fwd_kernel(
     tfinal_ref[:] = trans.reshape(TILE_H, TILE_W)
     pid_ref[:] = best_id.reshape(TILE_H, TILE_W)
     pwp_ref[:] = best_w.reshape(TILE_H, TILE_W)
+    # chunks actually composited before the saturation early-exit: the
+    # backward kernel clamps its back-to-front walk to this bound — pairs
+    # beyond it have w == 0 and u-suffix == 0, so every skipped chunk's
+    # gradient is exactly the zero the aliased grad buffer already holds.
+    # (SMEM output: a (1,1)-blocked VMEM output violates Mosaic's 8x128
+    # tile-divisibility rule; the whole (num_tiles,) row lives in SMEM and
+    # each sequential grid step writes its own slot)
+    cend_ref[t] = c_end
 
 
 def _run_forward(pair_data, tile_start, tile_count, background,
@@ -1027,6 +1036,7 @@ def _run_forward(pair_data, tile_start, tile_count, background,
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
             pl.BlockSpec((TILE_H, TILE_W), lambda t, *_: (t // tiles_x, t % tiles_x)),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, N_ROWS, PAIR_CHUNK), jnp.float32),
@@ -1044,6 +1054,7 @@ def _run_forward(pair_data, tile_start, tile_count, background,
         jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.int32),
         jax.ShapeDtypeStruct((tiles_y * TILE_H, tiles_x * TILE_W), jnp.float32),
         jax.ShapeDtypeStruct((8, A), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles,), jnp.int32),
     )
     pw_init = jnp.zeros((8, A), jnp.float32)
     return pl.pallas_call(
@@ -1346,6 +1357,7 @@ def render_pairs_packed(splats, colors, background, image_height, image_width,
 def _bwd_kernel(
     tile_start_ref,
     tile_count_ref,
+    cend_ref,  # (num_tiles,) i32: forward's per-tile early-exit chunk bound
     pair_hbm,  # (16, A + 128)
     tfinal_ref,  # (TILE_H, TILE_W) block
     dcolor_ref,  # (3, TILE_H, TILE_W) block
@@ -1365,7 +1377,14 @@ def _bwd_kernel(
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     off0 = pl.multiple_of((start // PAIR_CHUNK) * PAIR_CHUNK, PAIR_CHUNK)
-    n_chunks = pl.cdiv(start + count - off0, PAIR_CHUNK)
+    # clamp to the forward's saturation early-exit: pairs beyond it have
+    # w == 0 AND a zero u-suffix, so their gradients are exactly the zeros
+    # the aliased grad buffer is initialized with — skipping them computes
+    # the same cotangent the truncated forward defines (chunk bases match:
+    # both kernels count chunks from the same off0)
+    n_chunks = jnp.minimum(
+        pl.cdiv(start + count - off0, PAIR_CHUNK), cend_ref[t]
+    )
 
     tile_y = t // tiles_x
     tile_x = t - tile_y * tiles_x
@@ -1532,12 +1551,12 @@ def _bwd_kernel(
     jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), t_final, u0))
 
 
-def _run_backward(pair_data, tile_start, tile_count, tfinal, dcolor, dalpha,
-                  background, tiles_x, tiles_y, interpret):
+def _run_backward(pair_data, tile_start, tile_count, cend, tfinal, dcolor,
+                  dalpha, background, tiles_x, tiles_y, interpret):
     num_tiles = tiles_x * tiles_y
     A = pair_data.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1565,11 +1584,12 @@ def _run_backward(pair_data, tile_start, tile_count, tfinal, dcolor, dalpha,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((N_ROWS, A), jnp.float32),),
         interpret=interpret,
-        input_output_aliases={7: 0},  # grad_init -> pair_grad (index incl. prefetch args)
+        input_output_aliases={8: 0},  # grad_init -> pair_grad (index incl. prefetch args)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         tile_start,
         tile_count,
+        cend.reshape(-1),
         pair_data,
         tfinal,
         dcolor,
@@ -1594,8 +1614,9 @@ def _raster_core_fwd(pair_data, tile_start, tile_count, background,
                      tiles_x, tiles_y, with_stats, interpret):
     out = _run_forward(pair_data, tile_start, tile_count, background,
                        tiles_x, tiles_y, with_stats, interpret)
-    color, tfinal, pid, pwp, pair_w = out
-    residuals = (pair_data, tile_start, tile_count, background, tfinal)
+    color, tfinal, pid, pwp, pair_w, cend = out
+    residuals = (pair_data, tile_start, tile_count, background, tfinal,
+                 cend)
     return out, residuals
 
 
@@ -1606,13 +1627,13 @@ def _zero_if_float0(ct, shape):
 
 
 def _raster_core_bwd(tiles_x, tiles_y, with_stats, interpret, residuals, cts):
-    pair_data, tile_start, tile_count, background, tfinal = residuals
-    d_color, d_tfinal, _d_pid, _d_pwp, _d_pairw = cts
+    pair_data, tile_start, tile_count, background, tfinal, cend = residuals
+    d_color, d_tfinal, _d_pid, _d_pwp, _d_pairw, _d_cend = cts
     d_color = _zero_if_float0(d_color, (3,) + tfinal.shape)
     d_tfinal = _zero_if_float0(d_tfinal, tfinal.shape)
     # public alpha output = 1 - tfinal, so its cotangent is -d_tfinal here
     pair_grad = _run_backward(
-        pair_data, tile_start, tile_count, tfinal, d_color, -d_tfinal,
+        pair_data, tile_start, tile_count, cend, tfinal, d_color, -d_tfinal,
         background, tiles_x, tiles_y, interpret,
     )
     d_bg = jnp.stack([
@@ -1697,7 +1718,7 @@ def rasterize_tiled(
         active_prefix=prefix_mask if prefix_mask is not None else active_mask,
         interpret=interpret, gid_ids=gid_ids,
     )
-    color, tfinal, pid_pair, pwp, pair_w = _raster_core(
+    color, tfinal, pid_pair, pwp, pair_w, _cend = _raster_core(
         pairs["pair_data"],
         pairs["tile_start"],
         pairs["tile_count"],

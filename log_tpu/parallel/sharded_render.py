@@ -342,7 +342,7 @@ def _shard_render(params_l, tree_l, cam, n_alive, min_res, current_depth,
         tile_s2, gid_s2, values_s2, cfg.tiles_x, cfg.band_ty,
         interpret=interpret,
     )
-    color, tfinal, _pid, _pwp, _pair_w = _run_forward(
+    color, tfinal, _pid, _pwp, _pair_w, _cend = _run_forward(
         packed["pair_data"], packed["tile_start"], packed["tile_count"],
         background, cfg.tiles_x, cfg.band_ty, False, interpret,
     )

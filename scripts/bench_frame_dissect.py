@@ -331,7 +331,7 @@ def main():
 
     @jax.jit
     def stage_kernel(pair_data, tile_start, tile_count):
-        color, tfinal, pid, pwp, pair_w = rt._run_forward(
+        color, tfinal, pid, pwp, pair_w, _cend = rt._run_forward(
             pair_data, tile_start, tile_count, jnp.zeros(3),
             rt.pl.cdiv(W, rt.TILE_W), rt.pl.cdiv(H, rt.TILE_H),
             False, False,

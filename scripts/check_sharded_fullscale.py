@@ -143,7 +143,7 @@ def main():
             shape = (3, tiles_y * sr.TILE_H, tiles_x * sr.TILE_W)
             z = jnp.zeros(shape, jnp.float32)
             t = jnp.ones(shape[1:], jnp.float32)
-            return z, t, None, None, None
+            return z, t, None, None, None, None
 
         sr._run_forward = _fake_forward
 

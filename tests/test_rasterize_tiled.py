@@ -323,7 +323,7 @@ def test_packed_inference_matches_full_precision():
         splat_cols, colors, H, W, 4096, runs_tail_only=True,
         active_prefix=prefix, interpret=True,
     )
-    color_f, tfinal_f, _, _, _ = _raster_core(
+    color_f, tfinal_f, _, _, _, _ = _raster_core(
         pairs["pair_data"], pairs["tile_start"], pairs["tile_count"],
         args["background"], pairs["tiles_x"], pairs["tiles_y"], False, True,
     )
