@@ -76,6 +76,38 @@ def adam_slice_update(
     return param, exp_avg, exp_avg_sq, max_exp_avg_sq
 
 
+def dense_adam_step(params, moments, grads, update_mask, global_step, lrs,
+                    eps: float = 1e-15):
+    """Adam over the FULL capacity axis with a per-row update mask — the
+    identity fast path for steps whose slice bucket covers the whole
+    capacity (init stage: k_leaf == cap, index == arange). Numerically
+    identical to sparse_adam_step at identity index: masked rows keep
+    params AND moments (the sparse path's sentinel-index scatters drop
+    them), but the 3 capacity-sized gathers + 3 scatters disappear
+    (~35 ms of the 43 ms optimizer tail at K = cap = 131k;
+    scripts/bench_trainstep_dissect.py, round 5). Per-key elementwise —
+    XLA fuses the chain, no concat copies needed."""
+    keys = [k for k, g in grads.items() if g is not None and k in lrs]
+    new_params = dict(params)
+    new_m1 = dict(moments["exp_avg"])
+    new_m2 = dict(moments["exp_avg_sq"])
+    for k in keys:
+        g = grads[k]
+        m1 = moments["exp_avg"][k]
+        m2 = moments["exp_avg_sq"][k]
+        p, m1_u, m2_u, _ = adam_slice_update(
+            params[k], g, m1, m2, global_step,
+            jnp.asarray(lrs[k], jnp.float32), eps=eps,
+        )
+        mask = update_mask.reshape(
+            (update_mask.shape[0],) + (1,) * (params[k].ndim - 1)
+        )
+        new_params[k] = jnp.where(mask, p, params[k])
+        new_m1[k] = jnp.where(mask, m1_u, m1)
+        new_m2[k] = jnp.where(mask, m2_u, m2)
+    return new_params, {"exp_avg": new_m1, "exp_avg_sq": new_m2}
+
+
 def sparse_adam_step(
     params: dict,
     moments: dict,

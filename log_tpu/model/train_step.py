@@ -22,7 +22,7 @@ from ..ops import rasterize_ref
 from ..ops.sh import eval_sh, sh_to_rgb
 from ..ops.ssim import ssim_loss, ssim_map
 from .counter import update_counter
-from .sparse_optimizer import sparse_adam_step
+from .sparse_optimizer import dense_adam_step, sparse_adam_step
 
 
 @dataclass(frozen=True)
@@ -330,7 +330,28 @@ def _train_step_core(
     """Returns (params, moments, counter, corr_state, metrics, aux)."""
     cap = params["xyz"].shape[0]
     opt_params = {k: params[k] for k in cfg.opt_keys if k in params}
-    if cfg.compact_method == "sort":
+    # identity fast path: when the leaf bucket covers the whole capacity
+    # (init stage at full visibility), compaction is the identity — the
+    # dense rows ARE the slice. Skips the compaction sort AND (below) the
+    # sparse Adam's 3 capacity-sized gathers + 3 scatters; row-for-row
+    # equal to the sparse path (tests/test_train_step_identity.py) up to
+    # XLA refusing the two executables the same fusion order.
+    # LOG_TPU_IDENTITY_STEP=0 opts out (A/B tests that need the sparse
+    # executable on both sides, e.g. spill-vs-device equality).
+    identity_fast = (
+        cfg.k_node == 0 and cfg.k_leaf == cap and not cfg.spilled
+        and os.environ.get("LOG_TPU_IDENTITY_STEP", "1") != "0"
+    )
+    if identity_fast:
+        index = jnp.arange(cap, dtype=jnp.int32)
+        lane_valid = keep_leaf
+        slices = dict(opt_params)
+        # dead/padding rows may hold zero quaternions; the compacted path
+        # sanitizes them to the unit quat (normalize below divides by 0)
+        slices["rotation"] = jnp.where(
+            lane_valid[:, None], slices["rotation"], jnp.asarray(UNIT_QUAT)
+        )
+    elif cfg.compact_method == "sort":
         slices, index, lane_valid = _compact_slices_sort(
             opt_params, keep_leaf, cfg.k_leaf
         )
@@ -476,6 +497,7 @@ def _train_step_core(
         aux["point_weight"],
         aux["point_id_pixel"],
         g_offset,
+        identity=identity_fast,
     )
 
     flag_vis = aux["radii"] > 0
@@ -487,6 +509,11 @@ def _train_step_core(
             params, moments, g_slices, index, update_mask, global_step,
             lrs, spilled=cfg.spilled, m_slices=m_slices,
         )
+    elif identity_fast:
+        params, moments = dense_adam_step(
+            params, moments, g_slices, update_mask, global_step, lrs
+        )
+        out_m_slices = {}
     else:
         params, moments = sparse_adam_step(
             params, moments, g_slices, index, update_mask, global_step, lrs
@@ -495,17 +522,26 @@ def _train_step_core(
 
     # clamp scaling into [radius3d_min, radius3d_max]
     # (LoG/model/level_of_gaussian.py:367-377)
-    sentinel_idx = jnp.where(update_mask, index, cap)
-    r3min = counter["radius3d_min"].at[sentinel_idx].get(mode="fill", fill_value=1e-6)
-    r3max = counter["radius3d_max"].at[sentinel_idx].get(mode="fill", fill_value=1e6)
-    s = params["scaling"].at[sentinel_idx].get(mode="fill", fill_value=0.0)
-    s = jnp.clip(
-        s,
-        jnp.log(jnp.maximum(r3min, 1e-12))[:, None],
-        jnp.log(jnp.maximum(r3max, 1e-12))[:, None],
-    )
     params = dict(params)
-    params["scaling"] = params["scaling"].at[sentinel_idx].set(s, mode="drop")
+    if identity_fast:
+        s_all = params["scaling"]
+        s_cl = jnp.clip(
+            s_all,
+            jnp.log(jnp.maximum(counter["radius3d_min"], 1e-12))[:, None],
+            jnp.log(jnp.maximum(counter["radius3d_max"], 1e-12))[:, None],
+        )
+        params["scaling"] = jnp.where(update_mask[:, None], s_cl, s_all)
+    else:
+        sentinel_idx = jnp.where(update_mask, index, cap)
+        r3min = counter["radius3d_min"].at[sentinel_idx].get(mode="fill", fill_value=1e-6)
+        r3max = counter["radius3d_max"].at[sentinel_idx].get(mode="fill", fill_value=1e6)
+        s = params["scaling"].at[sentinel_idx].get(mode="fill", fill_value=0.0)
+        s = jnp.clip(
+            s,
+            jnp.log(jnp.maximum(r3min, 1e-12))[:, None],
+            jnp.log(jnp.maximum(r3max, 1e-12))[:, None],
+        )
+        params["scaling"] = params["scaling"].at[sentinel_idx].set(s, mode="drop")
 
     if cfg.use_correction:
         # per-view AMSGrad Adam on the 3-channel gain
