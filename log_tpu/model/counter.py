@@ -8,6 +8,7 @@ scatter-add / scatter-max at the visible indices — no host sync.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -97,6 +98,12 @@ def update_counter(
     pid = point_id_pixel.ravel()
     pid = jnp.where(pid >= 0, pid, K)  # -1 would wrap; push out of range
     # per-slice pixel ownership count (the reference's torch.unique counts)
+    # the ownership histogram is the train step's residual scatter
+    # (~24 ms at 1080p in-step). Measured alternatives (round 5, on-chip,
+    # in-step): f32 scatter-add 80.4 vs i32 80.9 ms/step (noise), sort-
+    # then-scatter 83.5 — the clustered real pid map already hits the
+    # fast scatter path (a RANDOM pid map is 130x slower isolated), so
+    # the plain form stays.
     point_count = (
         jnp.zeros((K,), jnp.int32).at[pid].add(1, mode="drop")
     )

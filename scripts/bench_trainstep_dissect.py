@@ -116,7 +116,11 @@ def main():
              "center": pos.reshape(3, 1)}, 1, 0.01, 1000.0))
 
     cams = [make_cam(2 * math.pi * i / 24) for i in range(24)]
-    k_bucket = next_capacity(N)
+    # optional 2nd arg: force the slice bucket (tree-stage regime: small
+    # cut bucket against a large capacity; overflow truncation is fine
+    # for timing)
+    k_bucket = (int(sys.argv[2]) if len(sys.argv) > 2
+                else next_capacity(N))
     cfg = StepConfig(
         image_height=H, image_width=W, k_leaf=k_bucket, k_node=0,
         sh_degree=0, mode="antialias", backend="tiled",
