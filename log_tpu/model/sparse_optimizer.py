@@ -143,6 +143,37 @@ def sparse_adam_step(
     sentinel = params[next(iter(params))].shape[0]
     idx = jnp.where(update_mask, index, sentinel)
     keys = [k for k, g in grads.items() if g is not None and k in lrs]
+    cap = sentinel
+    K = index.shape[0]
+    if not spilled and K <= cap // 8:
+        # small-bucket branch (tree stage: k << cap): per-key gather ->
+        # Adam -> scatter, NO concatenation. The packed-cat form below
+        # materializes (cap, 23) copies of params AND both moments —
+        # ~130 ms of pure HBM copies at 12.58M capacity (round-5
+        # dissection) — while per-key gathers/scatters cost ~K rows and
+        # the donated capacity arrays update in place.
+        new_params = dict(params)
+        new_m1 = dict(moments["exp_avg"])
+        new_m2 = dict(moments["exp_avg_sq"])
+        for k in keys:
+            shape = params[k].shape
+            # gather/scatter on 2-D views only: a 3-D (cap, 3, 3) scatter
+            # operand forces a (4, 128)-tiled layout copy — 25.7 GB at
+            # 12.58M capacity (OOM); (cap, 9) keeps the plain layout
+            p2 = params[k].reshape(cap, -1)
+            m1_2 = moments["exp_avg"][k].reshape(cap, -1)
+            m2_2 = moments["exp_avg_sq"][k].reshape(cap, -1)
+            p_sl = p2.at[idx].get(mode="fill", fill_value=0.0)
+            m1_sl = m1_2.at[idx].get(mode="fill", fill_value=0.0)
+            m2_sl = m2_2.at[idx].get(mode="fill", fill_value=0.0)
+            p_u, m1_u, m2_u, _ = adam_slice_update(
+                p_sl, grads[k].reshape(K, -1), m1_sl, m2_sl, global_step,
+                jnp.asarray(lrs[k], jnp.float32), eps=eps,
+            )
+            new_params[k] = p2.at[idx].set(p_u, mode="drop").reshape(shape)
+            new_m1[k] = m1_2.at[idx].set(m1_u, mode="drop").reshape(shape)
+            new_m2[k] = m2_2.at[idx].set(m2_u, mode="drop").reshape(shape)
+        return new_params, {"exp_avg": new_m1, "exp_avg_sq": new_m2}
     # Pack every key's columns into ONE (cap, sum_dims) array so the step
     # issues 3 gathers + 3 scatters total instead of 5 per key (XLA TPU
     # serializes each gather/scatter; measured 25 -> ~6 ms at K=100k). The

@@ -70,6 +70,27 @@ def _gather_slices(params: dict, index: jax.Array, lane_valid: jax.Array) -> dic
     return out
 
 
+def _compact_slices_gather(params: dict, keep: jax.Array, k: int):
+    """Compaction for SMALL slice buckets: single-operand index sort +
+    k-sized row gathers. Same output contract as _compact_slices_sort.
+
+    The payload sort moves cap x n_cols elements through every sort pass
+    (~304 ms at 12.58M rows x 23 columns — the dominant cost of the 10M
+    tree-stage step, scripts/bench_trainstep_dissect.py round 5); when
+    k << cap it is far cheaper to sort ONLY the position key and gather
+    the k winning rows (gather cost scales with k, not cap).
+    _train_step_core picks this automatically for k <= cap // 8."""
+    cap = keep.shape[0]
+    pos = jnp.arange(cap, dtype=jnp.uint32)
+    skey = jnp.where(keep, pos, jnp.uint32(cap) + pos)
+    (key_s,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
+    key_s = key_s[:k]
+    lane_valid = key_s < jnp.uint32(cap)
+    index = jnp.where(lane_valid, key_s, jnp.uint32(cap)).astype(jnp.int32)
+    slices = _gather_slices(params, index, lane_valid)
+    return slices, index, lane_valid
+
+
 def _compact_slices_sort(params: dict, keep: jax.Array, k: int):
     """Compaction-by-sort: kept rows to the front, in index order.
 
@@ -352,11 +373,18 @@ def _train_step_core(
             lane_valid[:, None], slices["rotation"], jnp.asarray(UNIT_QUAT)
         )
     elif cfg.compact_method == "sort":
-        slices, index, lane_valid = _compact_slices_sort(
+        # small buckets: index-sort + gather (cost ~k); large buckets:
+        # payload sort (cost ~cap x cols but no serialized gathers)
+        _compact = (
+            _compact_slices_gather
+            if (cfg.k_leaf + cfg.k_node) <= cap // 8
+            else _compact_slices_sort
+        )
+        slices, index, lane_valid = _compact(
             opt_params, keep_leaf, cfg.k_leaf
         )
         if cfg.k_node > 0:
-            sl_n, idx_n, lv_n = _compact_slices_sort(
+            sl_n, idx_n, lv_n = _compact(
                 opt_params, keep_node, cfg.k_node
             )
             slices = {

@@ -47,6 +47,7 @@ def main():
     from log_tpu.model.train_step import (
         StepConfig,
         _activate_and_rasterize,
+        _compact_slices_gather,
         _compact_slices_sort,
         _prepare_core,
         fused_prepare_train_step,
@@ -132,29 +133,35 @@ def main():
         mode="antialias", backend="tiled", max_pairs=1 << 19, check_scale=4,
     )
 
+    # params/tree/gt are EXPLICIT arguments everywhere: closure-captured
+    # device arrays become embedded constants, and at 10M-point scale the
+    # remote-compile request exceeds the tunnel's body limit (HTTP 413)
     @jax.jit
-    def prep(cam):
+    def prep(params, cap_tree, gt, cam):
         kl, kn, counts = _prepare_core(
             params, cap_tree, cam, jnp.int32(N), jnp.zeros((cap,), bool),
             **prep_args,
         )
         return jnp.sum(kl) + jnp.sum(kn)
 
-    def compact_of(cam):
+    def compact_of(params, cap_tree, cam):
         kl, kn, counts = _prepare_core(
             params, cap_tree, cam, jnp.int32(N), jnp.zeros((cap,), bool),
             **prep_args,
         )
         opt = {k: params[k] for k in cfg.opt_keys if k in params}
-        return _compact_slices_sort(opt, kl, cfg.k_leaf)
+        # same small-bucket selection as _train_step_core
+        _compact = (_compact_slices_gather if cfg.k_leaf <= cap // 8
+                    else _compact_slices_sort)
+        return _compact(opt, kl, cfg.k_leaf)
 
     @jax.jit
-    def compact(cam):
-        slices, index, lane_valid = compact_of(cam)
+    def compact(params, cap_tree, gt, cam):
+        slices, index, lane_valid = compact_of(params, cap_tree, cam)
         return sum(jnp.sum(v[:, 0]) for v in slices.values()) + jnp.sum(index)
 
-    def fwd_of(cam):
-        slices, index, lane_valid = compact_of(cam)
+    def fwd_of(params, cap_tree, cam):
+        slices, index, lane_valid = compact_of(params, cap_tree, cam)
         K = index.shape[0]
         out = _activate_and_rasterize(
             slices, jnp.zeros((K, 2), jnp.float32), cam,
@@ -163,25 +170,25 @@ def main():
         return out, slices, lane_valid
 
     @jax.jit
-    def fwd(cam):
-        out, _, _ = fwd_of(cam)
+    def fwd(params, cap_tree, gt, cam):
+        out, _, _ = fwd_of(params, cap_tree, cam)
         return jnp.sum(out["render"])
 
-    gt_f32 = gt.astype(jnp.float32) * (1.0 / 255.0)
-
-    def loss_of(cam, with_ssim):
-        out, slices, lane_valid = fwd_of(cam)
+    def loss_of(params, cap_tree, gt, cam, with_ssim):
+        gt_f32 = gt.astype(jnp.float32) * (1.0 / 255.0)
+        out, slices, lane_valid = fwd_of(params, cap_tree, cam)
         render = out["render"]
         l1 = jnp.mean(jnp.abs(render - gt_f32))
         if with_ssim:
             return 0.8 * l1 + 0.2 * ssim_loss(render, gt_f32)
         return l1
 
-    fwd_l1 = jax.jit(lambda cam: loss_of(cam, False))
-    fwd_loss = jax.jit(lambda cam: loss_of(cam, True))
+    fwd_l1 = jax.jit(lambda p, t, g, cam: loss_of(p, t, g, cam, False))
+    fwd_loss = jax.jit(lambda p, t, g, cam: loss_of(p, t, g, cam, True))
 
-    def grad_loss_of(cam, with_ssim):
-        slices0, index, lane_valid = compact_of(cam)
+    def grad_loss_of(params, cap_tree, gt, cam, with_ssim):
+        gt_f32 = gt.astype(jnp.float32) * (1.0 / 255.0)
+        slices0, index, lane_valid = compact_of(params, cap_tree, cam)
         K = index.shape[0]
 
         def lf(slices_, offset_):
@@ -200,8 +207,8 @@ def main():
         )
         return loss + sum(jnp.sum(g) for g in jax.tree.leaves(grads))
 
-    fwd_bwd_l1 = jax.jit(lambda cam: grad_loss_of(cam, False))
-    fwd_bwd = jax.jit(lambda cam: grad_loss_of(cam, True))
+    fwd_bwd_l1 = jax.jit(lambda p, t, g, cam: grad_loss_of(p, t, g, cam, False))
+    fwd_bwd = jax.jit(lambda p, t, g, cam: grad_loss_of(p, t, g, cam, True))
 
     lrs = {k: jnp.float32(1e-3)
            for k in ("xyz", "colors", "scaling", "opacity", "rotation", "shs")}
@@ -226,12 +233,12 @@ def main():
         return (p, m, c, co), metrics
 
     def time_fn(fn, label):
-        float(fn(cams[0]))
-        float(fn(cams[1]))
+        float(fn(params, cap_tree, gt, cams[0]))
+        float(fn(params, cap_tree, gt, cams[1]))
         t0 = time.perf_counter()
         acc = None
         for i in range(REPS):
-            acc = fn(cams[2 + i % 20])
+            acc = fn(params, cap_tree, gt, cams[2 + i % 20])
         float(acc)
         dt = (time.perf_counter() - t0) / REPS * 1000
         print(f"# {label}: {dt:.1f} ms", file=sys.stderr, flush=True)

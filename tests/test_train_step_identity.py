@@ -120,11 +120,31 @@ def test_identity_path_matches_compacted():
     # (a) identity path: k_leaf == cap
     p_a, m_a, c_a, met_a = run_step(params, CAP, keep)
 
-    # (b) compacted path: same rows inside a 2x capacity (k_leaf < cap)
+    # (b) compacted path: same rows inside a 2x capacity (k_leaf < cap,
+    # packed-cat Adam)
     params2 = pad_rows({k: jnp.asarray(v) for k, v in params_np.items()},
                        2 * CAP)
     keep2 = jnp.arange(2 * CAP) < N
     p_b, m_b, c_b, met_b = run_step(params2, 2 * CAP, keep2)
+
+    # (c) small-bucket path: 16x capacity (k_leaf <= cap // 8 picks the
+    # index-sort+gather compaction AND the per-key no-concat sparse Adam)
+    params3 = pad_rows({k: jnp.asarray(v) for k, v in params_np.items()},
+                       16 * CAP)
+    keep3 = jnp.arange(16 * CAP) < N
+    p_c, m_c, c_c, met_c = run_step(params3, 16 * CAP, keep3)
+    assert np.allclose(float(met_c["loss"]), float(met_b["loss"]), atol=1e-6)
+    for k in p_b:
+        np.testing.assert_allclose(
+            np.asarray(p_c[k])[:N], np.asarray(p_b[k])[:N],
+            rtol=1e-5, atol=1e-7, err_msg=f"small-bucket param {k}",
+        )
+    for kind in ("exp_avg", "exp_avg_sq"):
+        for k in m_b[kind]:
+            np.testing.assert_allclose(
+                np.asarray(m_c[kind][k])[:N], np.asarray(m_b[kind][k])[:N],
+                rtol=1e-5, atol=1e-8, err_msg=f"small-bucket {kind}/{k}",
+            )
 
     assert np.allclose(float(met_a["loss"]), float(met_b["loss"]), atol=1e-6)
     for k in p_a:
