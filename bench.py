@@ -158,7 +158,7 @@ def main():
         c = np.asarray(counts)
         cut = int(c[:2].sum())
         k_vis = min(next_capacity(int(cut * 1.2), 1 << 15), cap)
-        max_pairs = pick_max_pairs(int(max(c[2], 1) * 1.25), per_point=1)
+        max_pairs = pick_max_pairs(int(max(c[2], 1) * 1.1), per_point=1)
         # w_full-folded eligibility varies with occlusion across the orbit:
         # size the block budget from several cameras, not just the first
         n_elig = int(c[3])
@@ -244,7 +244,7 @@ def main():
         max_pairs = pick_max_pairs(k_vis, per_point=6)
         if len(c) > 2 and c[2] > 0:
             max_pairs = min(
-                max_pairs, pick_max_pairs(int(c[2] * 1.25), per_point=1)
+                max_pairs, pick_max_pairs(int(c[2] * 1.1), per_point=1)
             )
         if force_max_pairs is not None:
             max_pairs = force_max_pairs

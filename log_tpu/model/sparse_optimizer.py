@@ -145,7 +145,7 @@ def sparse_adam_step(
     keys = [k for k, g in grads.items() if g is not None and k in lrs]
     cap = sentinel
     K = index.shape[0]
-    if not spilled and K <= cap // 8:
+    if not spilled and K <= cap // 16:
         # small-bucket branch (tree stage: k << cap): per-key gather ->
         # Adam -> scatter, NO concatenation. The packed-cat form below
         # materializes (cap, 23) copies of params AND both moments —

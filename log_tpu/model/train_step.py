@@ -79,7 +79,7 @@ def _compact_slices_gather(params: dict, keep: jax.Array, k: int):
     tree-stage step, scripts/bench_trainstep_dissect.py round 5); when
     k << cap it is far cheaper to sort ONLY the position key and gather
     the k winning rows (gather cost scales with k, not cap).
-    _train_step_core picks this automatically for k <= cap // 8."""
+    _train_step_core picks this automatically for k <= cap // 16."""
     cap = keep.shape[0]
     pos = jnp.arange(cap, dtype=jnp.uint32)
     skey = jnp.where(keep, pos, jnp.uint32(cap) + pos)
@@ -183,11 +183,34 @@ def _compact_flat_cols_sort(cols: dict, keep: jax.Array, k: int):
     (f32 screen coords + u32 bf16-packed pairs). Invalid lanes zero-fill —
     a zero u32 unpacks to (0.0, 0.0), i.e. opacity 0 / radius 0, so packed
     payloads need no special sentinel. Returns (slices, index, lane_valid)
-    with the same contract as _compact_cols_sort."""
+    with the same contract as _compact_cols_sort.
+
+    When k <= cap // 16 the payload sort is replaced by a single-key
+    index sort + k-sized column gathers (same tradeoff as
+    _compact_slices_gather). Threshold measured on-chip (round 5): at
+    k/cap = 2.9%% the gathers win big (69 -> 57.5 ms realistic frame), at
+    11.5%% they lose big (85 -> 117 ms headline) — serialized gather cost
+    crosses the payload-sort cost between those."""
     cap = keep.shape[0]
     pos = jnp.arange(cap, dtype=jnp.uint32)
     skey = jnp.where(keep, pos, jnp.uint32(cap) + pos)
     names = list(cols)
+    if k <= cap // 16:
+        (key_s,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
+        key_s = key_s[:k]
+        lane_valid = key_s < jnp.uint32(cap)
+        index = jnp.where(lane_valid, key_s, jnp.uint32(cap)).astype(
+            jnp.int32
+        )
+        slices = {
+            n: jnp.where(
+                lane_valid,
+                cols[n].at[index].get(mode="fill", fill_value=0),
+                jnp.zeros((), cols[n].dtype),
+            )
+            for n in names
+        }
+        return slices, index, lane_valid
     out = jax.lax.sort(
         (skey,) + tuple(cols[n] for n in names), num_keys=1, is_stable=False
     )
@@ -377,7 +400,7 @@ def _train_step_core(
         # payload sort (cost ~cap x cols but no serialized gathers)
         _compact = (
             _compact_slices_gather
-            if (cfg.k_leaf + cfg.k_node) <= cap // 8
+            if (cfg.k_leaf + cfg.k_node) <= cap // 16
             else _compact_slices_sort
         )
         slices, index, lane_valid = _compact(

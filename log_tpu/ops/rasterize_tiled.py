@@ -722,11 +722,24 @@ def pack_sorted_pairs(tile_s, gid_s, values_s, tiles_x, tiles_y,
     (16, A + spare) kernel input from sorted pair rows."""
     num_tiles = tiles_x * tiles_y
     A = tile_s.shape[0]
-    # one searchsorted over num_tiles+1 boundaries; counts are the diffs
-    arange_t1 = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
-    tile_start = starts[:-1]
-    tile_end = starts[1:]
+    if os.environ.get("LOG_TPU_TILESTART") == "bincount":
+        # per-tile counts via scatter-add at SORTED indices (the fast TPU
+        # scatter path) + exclusive cumsum — A/B alternative to the
+        # searchsorted (whose binary-search gathers serialize)
+        counts = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_s].add(
+            1, mode="drop"
+        )
+        starts = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:num_tiles])]
+        )
+        tile_start = starts[:-1]
+        tile_end = starts[1:]
+    else:
+        # one searchsorted over num_tiles+1 boundaries; counts are the diffs
+        arange_t1 = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        starts = jnp.searchsorted(tile_s, arange_t1, side="left").astype(jnp.int32)
+        tile_start = starts[:-1]
+        tile_end = starts[1:]
 
     # pack (16, A + spare chunk): rows 0..9 values, row 10 the gaussian id
     # (already sorted as a key payload — rides the chunk DMA for free), rest

@@ -297,20 +297,19 @@ def main():
         ones = jnp.ones((1, 1, 1), jnp.float32)
         oned = jnp.ones((1, 1), jnp.float32)
         key = jax.random.PRNGKey(1)
-        tree_step = {
-            "node_index": tree_dev["node_index"],
-            "index_parent": tree_dev["index_parent"],
-            "depth": tree_dev["depth"],
-        }
-
+        # production cut path: 'flat' one-gather cut via the parent-attr
+        # cache + root-prefix weight cull (LoG.cut_method_train) — the
+        # 'traverse' default re-gathers parent pointers per level, ~110 ms
+        # of pure gathers at this capacity that the real trainer never pays
         def step(params, moments, counter, corr, cam, i):
             return fused_prepare_train_step(
-                params, moments, counter, tree_step, jnp.int32(n),
+                params, moments, counter, tree_dev, jnp.int32(n),
                 is_leaf_opt, jnp.float32(96.0), jnp.int32(20),
                 cam, gt, jnp.zeros(3), lrs, jnp.float32(i + 1), corr,
                 jnp.int32(0), ones, oned, key,
                 stage_has_tree=True, num_levels=3, prep_backend="tiled",
                 prep_max_pairs=1 << 19, check_scale=4, cfg=cfg,
+                cut_method="flat", n_roots=n_roots_bucket,
             )
 
         st = (params, moments, counter, corr)

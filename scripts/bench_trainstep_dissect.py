@@ -151,7 +151,7 @@ def main():
         )
         opt = {k: params[k] for k in cfg.opt_keys if k in params}
         # same small-bucket selection as _train_step_core
-        _compact = (_compact_slices_gather if cfg.k_leaf <= cap // 8
+        _compact = (_compact_slices_gather if cfg.k_leaf <= cap // 16
                     else _compact_slices_sort)
         return _compact(opt, kl, cfg.k_leaf)
 
