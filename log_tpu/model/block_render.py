@@ -267,7 +267,7 @@ def render_blocks(
     n_eligible_blocks]).
     """
     from ..ops.projection import NEAR_Z, SplatCols
-    from .train_step import _compact_flat_cols_sort, _render_tiled_cols
+    from .train_step import _compact_flat_cols, _render_tiled_cols
 
     S = cols.shape[2]
     B = cols.shape[1]
@@ -392,7 +392,7 @@ def render_blocks(
         "p3": _pack2_bf16(col_r, col_g),
         "p4": _pack2_bf16(col_b, rad_up),
     }
-    cols_s, _index, lane_prefix = _compact_flat_cols_sort(
+    cols_s, _index, lane_prefix = _compact_flat_cols(
         sort_cols, keep, k_visible
     )
     cxx_sl, cxy_sl = _unpack2_bf16(cols_s["p1"])

@@ -178,6 +178,28 @@ def _compact_cols_sort(params: dict, keep: jax.Array, k: int):
     return cols, index, lane_valid
 
 
+def _compact_flat_cols(cols: dict, keep: jax.Array, k: int):
+    """Flat-column compaction dispatcher for the render frame.
+
+    LOG_TPU_COMPACT=pallas routes to the single-pass stream-compaction
+    kernel (ops/compact_pallas.py) when the capacity axis satisfies its
+    contract (1024-multiple, < 2^24 rows); otherwise the payload-sort /
+    index-sort+gather forms below."""
+    cap = keep.shape[0]
+    if (
+        os.environ.get("LOG_TPU_COMPACT") == "pallas"
+        and cap % 1024 == 0
+        and cap < (1 << 24)
+    ):
+        from ..ops.compact_pallas import stream_compact_cols
+        from ..ops.rasterize_tiled import _interpret_default
+
+        return stream_compact_cols(
+            cols, keep, k, interpret=_interpret_default()
+        )
+    return _compact_flat_cols_sort(cols, keep, k)
+
+
 def _compact_flat_cols_sort(cols: dict, keep: jax.Array, k: int):
     """Compaction-by-sort over ALREADY-FLAT 1-D columns of mixed dtype
     (f32 screen coords + u32 bf16-packed pairs). Invalid lanes zero-fill —
@@ -950,7 +972,7 @@ def fused_prepare_render(
             per_frame_cull = check_cull and w_full is None
             if per_frame_cull:
                 sort_cols["root_id"] = tree_arrays["root_id"]
-            cols_s, index, lane_prefix = _compact_flat_cols_sort(
+            cols_s, index, lane_prefix = _compact_flat_cols(
                 sort_cols, keep, k_visible
             )
             if per_frame_cull:
