@@ -283,7 +283,7 @@ def _render_tiled_cols(splat_cols, colors_cols, background, image_height,
         splat_cols, colors_cols, image_height, image_width, max_pairs,
         runs_tail_only=True, active_prefix=prefix_mask, interpret=interpret,
     )
-    color, tfinal, _pid, _pwp, _pair_w = _raster_core(
+    color, tfinal, _pid, _pwp, _pair_w, _cend = _raster_core(
         pairs["pair_data"], pairs["tile_start"], pairs["tile_count"],
         background, pairs["tiles_x"], pairs["tiles_y"], False, interpret,
     )

@@ -70,8 +70,10 @@ def _compact_kernel(keep_ref, vals_ref, out_init_hbm, out_hbm, acc, carry,
     )[0]                                     # (CHUNK,) exclusive counts
 
     OUT = CHUNK + CARRY
-    tgt = carry_len.astype(jnp.float32) + pos
-    lane = jax.lax.broadcasted_iota(jnp.float32, (CHUNK, OUT), 1)
+    # pos is integer-valued f32 (< 2^24); compare in i32 (tpu.iota is
+    # integer-only)
+    tgt = carry_len + pos.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, OUT), 1)
     onehot = jnp.where(
         (lane == tgt[:, None]) & (kp[:, None] > 0), 1.0, 0.0
     )
@@ -95,7 +97,16 @@ def _compact_kernel(keep_ref, vals_ref, out_init_hbm, out_hbm, acc, carry,
     )
     wr.start()
     wr.wait()
-    carry[...] = jax.lax.dynamic_slice(acc_v, (0, adv), (n_c, CARRY))
+    # carry <- acc_v[:, adv : adv + CARRY]: Mosaic has no dynamic_slice on
+    # values, so extract via an exact one-hot selector matmul
+    jrow = jax.lax.broadcasted_iota(jnp.int32, (OUT, CARRY), 0)
+    jcol = jax.lax.broadcasted_iota(jnp.int32, (OUT, CARRY), 1)
+    sel = (jrow == adv + jcol).astype(jnp.float32)
+    carry[...] = jax.lax.dot_general(
+        acc_v, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     state[0] = total - adv
     state[1] = out_off + adv
 
@@ -138,6 +149,11 @@ def stream_compact_cols(cols: dict, keep: jax.Array, k: int,
         else:
             rows.append(v.astype(jnp.float32))
             lanes.append(("f32", n))
+    # pad the lane count to a sublane multiple (Mosaic requires first-dim
+    # slices 8-aligned for the HBM DMAs)
+    while len(rows) % 8:
+        rows.append(jnp.zeros((cap,), jnp.float32))
+        lanes.append(("pad", None))
     vals = jnp.stack(rows, axis=0)           # (n_c, cap)
     n_c = vals.shape[0]
     n_chunks = cap // CHUNK

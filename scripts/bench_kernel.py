@@ -88,7 +88,7 @@ def main():
 
             @partial(jax.jit, static_argnums=())
             def run(pd, st, ct):
-                color, tfinal, pid, pwp, pw = _raster_core(
+                color, tfinal, pid, pwp, pw, _cend = _raster_core(
                     pd, st, ct, bg, tiles_x, tiles_y, False, False
                 )
                 return color
