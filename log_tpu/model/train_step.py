@@ -47,9 +47,10 @@ class StepConfig:
     # mean and the SSIM map are masked to the bbox instead, which matches
     # the crop exactly (valid-padding SSIM windows fully inside the bbox).
     crop_loss: bool = False
-    # visible-slice compaction: 'sort' (one variadic sort per class — TPU
-    # sort cost is flat in payload count, ~13x cheaper than nonzero + row
-    # gather at multi-M capacity) or 'nonzero' (the original construction)
+    # visible-slice compaction: 'sort' (auto-selects payload sort vs
+    # index-sort + k-row gathers at k <= cap/16 — the round-5 measured
+    # crossover; identity when k == cap) or 'nonzero' (the original
+    # nonzero + gather construction, kept for reference)
     compact_method: str = "sort"
     # moment kinds spilled to host (the reference's 50M/100M CPU offload,
     # LoG/model/splitter.py:198-204): their slices arrive as step inputs
