@@ -189,7 +189,7 @@ def _compact_flat_cols(cols: dict, keep: jax.Array, k: int):
     cap = keep.shape[0]
     if (
         os.environ.get("LOG_TPU_COMPACT") == "pallas"
-        and cap % 1024 == 0
+        and cap % 8192 == 0
         and cap < (1 << 24)
     ):
         from ..ops.compact_pallas import stream_compact_cols

@@ -9,16 +9,19 @@ cost ~= 2x the array bytes instead of sort_passes x payloads x bytes.
 
 TPU mechanics (no data-dependent DMA sizes exist on this hardware):
 
-  * per 1024-row chunk, the kept rows' target slots are an EXCLUSIVE
+  * per 1024-row sub-chunk, the kept rows' target slots are an EXCLUSIVE
     prefix sum (strict-triangular f32 matmul — exact for integer counts);
-  * a one-hot (chunk, chunk+128) matmul moves every kept row to its slot
-    in one MXU pass — exact, because each output column sums exactly one
-    nonzero product (f32 HIGHEST);
-  * a <128-row CARRY buffer keeps the output write cursor 128-aligned:
-    each chunk appends to the carry, DMAs a fixed-size 1024-column window
-    at the aligned cursor, advances by the largest multiple of 128, and
-    rolls the remainder into the carry (SMEM scalars persist across the
-    sequential grid). The final grid step flushes the carry.
+  * a one-hot (1024, 1024+128) matmul moves every kept row to its slot in
+    one MXU pass — exact, because each output column sums exactly one
+    nonzero f32 product (HIGHEST precision);
+  * kept rows accumulate into a step-local VMEM window at a 128-ALIGNED
+    cursor (dynamic `pl.ds` stores with a multiple_of proof), so every
+    HBM DMA is fixed-size and aligned. A <128-row CARRY rolls between
+    grid steps (VMEM scratch + SMEM scalars persist across the
+    sequential grid); the final grid step flushes it.
+  * v1 issued one write DMA per 1024-row chunk and lost 2x to per-chunk
+    DMA/grid overhead (50 vs 24 ms at 4.2M rows); v2 batches SUB=8
+    sub-chunks per grid step and issues ONE step DMA.
 
 Mixed dtypes ride as exact f32 lanes: u32 columns split into hi/lo
 16-bit halves (integers <= 65535 are exact f32), the position key rides
@@ -35,12 +38,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+SUB = 8
 CHUNK = 1024
+STEP = SUB * CHUNK
 CARRY = 128
+WIN = CHUNK + CARRY
 
 
 def _compact_kernel(keep_ref, vals_ref, out_init_hbm, out_hbm, acc, carry,
-                    sem, state, *, n_c: int, n_chunks: int):
+                    sem, state, *, n_c: int, n_steps: int):
     # out_init_hbm is the zero-filled input aliased to out_hbm (rows past
     # the final write cursor must read as invalid / key 0)
     del out_init_hbm
@@ -48,72 +54,63 @@ def _compact_kernel(keep_ref, vals_ref, out_init_hbm, out_hbm, acc, carry,
 
     @pl.when(i == 0)
     def _():
-        state[0] = 0  # carry_len
-        state[1] = 0  # out_off (128-aligned)
+        state[0] = 0  # carry_len (< CARRY)
+        state[1] = 0  # global out cursor (128-aligned)
         carry[...] = jnp.zeros((n_c, CARRY), jnp.float32)
 
-    carry_len = state[0]
-    out_off = state[1]
+    # step-local window: zero, then seed with the rolling carry
+    acc[...] = jnp.zeros((n_c, STEP + WIN), jnp.float32)
+    acc[:, :CARRY] = carry[...]
 
-    kp = keep_ref[0, :]                      # (CHUNK,) f32 0/1
-    vals = vals_ref[...]                     # (n_c, CHUNK)
-
-    # exclusive prefix sum of kp via strict-triangular matmul (exact: f32
-    # integer sums < 2^24)
     row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
     tri = (row < col).astype(jnp.float32)    # tri[j, i] = j < i
-    pos = jax.lax.dot_general(
-        kp[None, :], tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0]                                     # (CHUNK,) exclusive counts
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, WIN), 1)
 
-    OUT = CHUNK + CARRY
-    # pos is integer-valued f32 (< 2^24); compare in i32 (tpu.iota is
-    # integer-only)
-    tgt = carry_len + pos.astype(jnp.int32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, OUT), 1)
-    onehot = jnp.where(
-        (lane == tgt[:, None]) & (kp[:, None] > 0), 1.0, 0.0
-    )
-    contrib = jax.lax.dot_general(
-        vals, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                        # (n_c, OUT) exact
-    base = jnp.concatenate(
-        [carry[...], jnp.zeros((n_c, CHUNK), jnp.float32)], axis=1
-    )
-    acc_v = base + contrib
+    def sub_body(s, lc):
+        # lc = logical count of rows placed so far this step (incl. carry)
+        la = pl.multiple_of((lc // CARRY) * CARRY, CARRY)
+        kp = keep_ref[0, pl.ds(s * CHUNK, CHUNK)]
+        vals = vals_ref[:, pl.ds(s * CHUNK, CHUNK)]
+        pos = jax.lax.dot_general(
+            kp[None, :], tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+        tgt = (lc - la) + pos.astype(jnp.int32)
+        onehot = jnp.where(
+            (lane == tgt[:, None]) & (kp[:, None] > 0), 1.0, 0.0
+        )
+        contrib = jax.lax.dot_general(
+            vals, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                    # (n_c, WIN) exact
+        cur = acc[:, pl.ds(la, WIN)]
+        acc[:, pl.ds(la, WIN)] = cur + contrib
+        return lc + jnp.sum(kp).astype(jnp.int32)
 
-    count = jnp.sum(kp).astype(jnp.int32)
-    total = carry_len + count
-    adv = (total // CARRY) * CARRY           # <= CHUNK
+    lc_final = jax.lax.fori_loop(0, SUB, sub_body, state[0])
+    la_final = pl.multiple_of((lc_final // CARRY) * CARRY, CARRY)
 
-    acc[...] = acc_v[:, :CHUNK]
+    out_off = state[1]
     wr = pltpu.make_async_copy(
-        acc, out_hbm.at[:, pl.ds(out_off, CHUNK)], sem
+        acc.at[:, :STEP],
+        out_hbm.at[:, pl.ds(pl.multiple_of(out_off, CARRY), STEP)],
+        sem,
     )
     wr.start()
     wr.wait()
-    # carry <- acc_v[:, adv : adv + CARRY]: Mosaic has no dynamic_slice on
-    # values, so extract via an exact one-hot selector matmul
-    jrow = jax.lax.broadcasted_iota(jnp.int32, (OUT, CARRY), 0)
-    jcol = jax.lax.broadcasted_iota(jnp.int32, (OUT, CARRY), 1)
-    sel = (jrow == adv + jcol).astype(jnp.float32)
-    carry[...] = jax.lax.dot_general(
-        acc_v, sel, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    state[0] = total - adv
-    state[1] = out_off + adv
+    carry[...] = acc[:, pl.ds(la_final, CARRY)]
+    state[0] = lc_final - la_final
+    state[1] = out_off + la_final
 
-    @pl.when(i == n_chunks - 1)
+    @pl.when(i == n_steps - 1)
     def _():
         fl = pltpu.make_async_copy(
-            carry, out_hbm.at[:, pl.ds(state[1], CARRY)], sem
+            carry,
+            out_hbm.at[:, pl.ds(pl.multiple_of(state[1], CARRY), CARRY)],
+            sem,
         )
         fl.start()
         fl.wait()
@@ -127,7 +124,7 @@ def stream_compact_cols(cols: dict, keep: jax.Array, k: int,
     train_step._compact_flat_cols_sort (invalid lanes zero-filled,
     index == cap sentinel)."""
     cap = keep.shape[0]
-    assert cap % CHUNK == 0, cap
+    assert cap % STEP == 0, cap
     assert cap < (1 << 24), "position key rides as exact f32"
     names = list(cols)
     lanes = []        # (kind, name) per f32 lane; kind: f32 | hi | lo | i32
@@ -156,28 +153,28 @@ def stream_compact_cols(cols: dict, keep: jax.Array, k: int,
         lanes.append(("pad", None))
     vals = jnp.stack(rows, axis=0)           # (n_c, cap)
     n_c = vals.shape[0]
-    n_chunks = cap // CHUNK
-    out_w = cap + CHUNK + CARRY
+    n_steps = cap // STEP
+    out_w = cap + STEP + CARRY
     out_init = jnp.zeros((n_c, out_w), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_chunks,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, CHUNK), lambda i: (0, i)),
-            pl.BlockSpec((n_c, CHUNK), lambda i: (0, i)),
+            pl.BlockSpec((1, STEP), lambda i: (0, i)),
+            pl.BlockSpec((n_c, STEP), lambda i: (0, i)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((n_c, CHUNK), jnp.float32),
+            pltpu.VMEM((n_c, STEP + WIN), jnp.float32),
             pltpu.VMEM((n_c, CARRY), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = functools.partial(
-        _compact_kernel, n_c=n_c, n_chunks=n_chunks
+        _compact_kernel, n_c=n_c, n_steps=n_steps
     )
     out = pl.pallas_call(
         kernel,

@@ -13,13 +13,13 @@ import jax
 import jax.numpy as jnp
 
 from log_tpu.model.train_step import _compact_flat_cols_sort
-from log_tpu.ops.compact_pallas import CHUNK, stream_compact_cols
+from log_tpu.ops.compact_pallas import STEP, stream_compact_cols
 
 
 @pytest.mark.parametrize("density,k_frac", [(0.13, 0.25), (0.8, 0.5),
                                             (0.02, 0.05), (1.0, 1.0)])
 def test_stream_compact_matches_sort(density, k_frac):
-    cap = 4 * CHUNK
+    cap = 2 * STEP
     k = max(128, int(cap * k_frac) // 128 * 128)
     rng = np.random.default_rng(int(density * 100))
     keep = jnp.asarray(rng.random(cap) < density)
@@ -45,12 +45,13 @@ def test_stream_compact_matches_sort(density, k_frac):
 
 
 def test_stream_compact_empty_and_full_chunks():
-    cap = 4 * CHUNK
+    cap = 2 * STEP
     k = cap
-    # adversarial: an empty chunk, a full chunk, carry straddles chunks
+    # adversarial: empty sub-chunks, a full grid step, carry straddles
+    # both sub-chunks and grid steps
     keep = np.zeros(cap, bool)
-    keep[CHUNK:2 * CHUNK] = True            # full chunk
-    keep[2 * CHUNK + 7: 2 * CHUNK + 70] = True  # partial, offset carry
+    keep[:STEP - 1] = True                  # nearly-full first step
+    keep[STEP + 7: STEP + 70] = True        # partial, offset carry
     keep[-1] = True
     cols = {"v": jnp.arange(cap, dtype=jnp.float32)}
     want = _compact_flat_cols_sort(cols, jnp.asarray(keep), k)
