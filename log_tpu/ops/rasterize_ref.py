@@ -108,8 +108,13 @@ def _composite(
         opac.reshape(n_chunks, chunk),
         cols.reshape(n_chunks, chunk, n_chan),
     )
+    # remat the scan body: without it, autodiff saves every chunk's
+    # (chunk, n_pix) intermediates — O(K * H * W) residuals that OOM the
+    # oracle backward at full-resolution training (e.g. 8k pts x 82k px
+    # x several temps > HBM). Recomputing the body in the backward trades
+    # ~2x FLOPs for O(n_pix) residual memory; gradients are unchanged.
     (color_acc, trans, best_w, best_id_sorted, _), pw_chunks = jax.lax.scan(
-        body, init, inputs
+        jax.checkpoint(body), init, inputs
     )
 
     image = color_acc + trans[:, None] * background[None, :].astype(dt)
