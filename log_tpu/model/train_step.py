@@ -12,7 +12,7 @@ buckets.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import partial
 
 import jax
@@ -56,6 +56,15 @@ class StepConfig:
     # LoG/model/splitter.py:198-204): their slices arrive as step inputs
     # and leave as step outputs instead of living in HBM
     spilled: tuple = ()
+    # identity fast path opt-out (LOG_TPU_IDENTITY_STEP=0). Captured at
+    # cfg CONSTRUCTION so it participates in the jit cache key — reading
+    # the env inside the traced fn made the decision invisible to the
+    # cache and test-order dependent.
+    identity_ok: bool = field(
+        default_factory=lambda: os.environ.get(
+            "LOG_TPU_IDENTITY_STEP", "1"
+        ) != "0"
+    )
 
 
 UNIT_QUAT = (1.0, 0.0, 0.0, 0.0)
@@ -407,7 +416,7 @@ def _train_step_core(
     # executable on both sides, e.g. spill-vs-device equality).
     identity_fast = (
         cfg.k_node == 0 and cfg.k_leaf == cap and not cfg.spilled
-        and os.environ.get("LOG_TPU_IDENTITY_STEP", "1") != "0"
+        and cfg.identity_ok
     )
     if identity_fast:
         index = jnp.arange(cap, dtype=jnp.int32)
